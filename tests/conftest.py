@@ -1,0 +1,31 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip behavior (DP mesh, shard_map, collectives) is tested on CPU with
+`--xla_force_host_platform_device_count=8` — the TPU-native answer to the
+reference's untestable-without-GPUs distributed path (SURVEY.md §4).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The sandbox's site config pins JAX_PLATFORMS to the remote-TPU platform;
+# the env var alone is not enough, so force CPU through the config API too.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
