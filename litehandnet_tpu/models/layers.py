@@ -1,0 +1,302 @@
+"""Shared NHWC building blocks: re-parameterizable convolutions and
+channel-attention units.
+
+TPU-first re-design of the reference's RepVGG-style blocks
+(models/pose_estimation/liteHandNet/repblocks.py, common.py): channels-last
+Flax modules whose training graph (multi-branch conv+BN) and deployment graph
+(single fused conv) are two *module configurations* over params related by the
+pure transform in `litehandnet_tpu.models.reparam` — re-parameterization is a
+params->params function, not in-place module surgery.
+
+Conventions:
+* layouts are NHWC; conv kernels are HWIO;
+* torch-style explicit padding (pad (p, p) both sides, floor output) so
+  spatial sizes match the reference exactly;
+* BatchNorm: eps 1e-5, momentum 0.9, optional `axis_name` for cross-device
+  (SyncBN-equivalent) batch stats under shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+
+leaky_relu = jax.nn.leaky_relu  # slope 0.01, matches torch default
+relu = jax.nn.relu
+silu = jax.nn.silu
+
+
+def get_activation(name: str | None) -> Activation:
+    if name is None:
+        return None
+    name = name.lower()
+    return {
+        "leakyrelu": leaky_relu,
+        "leaky_relu": leaky_relu,
+        "relu": relu,
+        "silu": silu,
+        "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+        "sigmoid": jax.nn.sigmoid,
+        "none": None,
+        "identity": None,
+    }[name]
+
+
+def _pair(v) -> tuple:
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+class Conv(nn.Module):
+    """Plain conv with torch-style integer padding (NHWC / HWIO)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _pair(self.kernel)
+        p = _pair(self.padding)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=_pair(self.stride),
+            padding=((p[0], p[0]), (p[1], p[1])),
+            kernel_dilation=_pair(self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults; axis_name enables SyncBN."""
+
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class RepConv(nn.Module):
+    """Conv+BN that fuses to a single biased conv at deploy time
+    (reference: repblocks.py:23-73).
+
+    Train graph: conv(no bias) -> BN -> act. Deploy graph: conv(bias) -> act.
+    `reparam.fuse_params` maps train params+stats to deploy params.
+    """
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    act: Activation = leaky_relu
+    deploy: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deploy:
+            out = Conv(
+                self.features, self.kernel, self.stride, self.padding,
+                self.dilation, self.groups, use_bias=True, dtype=self.dtype,
+                name="rep",
+            )(x)
+        else:
+            out = Conv(
+                self.features, self.kernel, self.stride, self.padding,
+                self.dilation, self.groups, use_bias=False, dtype=self.dtype,
+                name="main",
+            )(x)
+            out = BatchNorm(self.axis_name, dtype=self.dtype, name="main_bn")(
+                out, train
+            )
+        if self.act is not None:
+            out = self.act(out)
+        return out
+
+
+class RepBlock(nn.Module):
+    """RepVGG block: kxk + 1x1 + identity-BN branches, fused at deploy
+    (reference: repblocks.py:76-236).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    act: Activation = leaky_relu
+    identity: bool = True
+    deploy: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        if self.deploy:
+            out = Conv(
+                self.features, self.kernel, self.stride, self.padding,
+                self.dilation, self.groups, use_bias=True, dtype=self.dtype,
+                name="rep",
+            )(x)
+        else:
+            dense = Conv(
+                self.features, self.kernel, self.stride, self.padding,
+                self.dilation, self.groups, use_bias=False, dtype=self.dtype,
+                name="dense",
+            )(x)
+            dense = BatchNorm(self.axis_name, dtype=self.dtype, name="dense_bn")(
+                dense, train
+            )
+            one = Conv(
+                self.features, 1, self.stride, 0, 1, self.groups,
+                use_bias=False, dtype=self.dtype, name="one",
+            )(x)
+            one = BatchNorm(self.axis_name, dtype=self.dtype, name="one_bn")(
+                one, train
+            )
+            out = dense + one
+            if self.identity and in_features == self.features and self.stride == 1:
+                out = out + BatchNorm(
+                    self.axis_name, dtype=self.dtype, name="id_bn"
+                )(x, train)
+        if self.act is not None:
+            out = self.act(out)
+        return out
+
+
+def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
+    """torch-style adaptive average pooling over NHWC spatial dims.
+
+    Region i spans [floor(i*S/O), ceil((i+1)*S/O)) — identical to
+    torch.nn.functional.adaptive_avg_pool2d.
+    """
+    oh, ow = _pair(output_size)
+    B, H, W, C = x.shape
+    if (oh, ow) == (1, 1):
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    if H % oh == 0 and W % ow == 0:
+        x = x.reshape(B, oh, H // oh, ow, W // ow, C)
+        return x.mean(axis=(2, 4))
+    rows = []
+    for i in range(oh):
+        y0, y1 = (i * H) // oh, -(-((i + 1) * H) // oh)
+        cols = []
+        for j in range(ow):
+            x0, x1 = (j * W) // ow, -(-((j + 1) * W) // ow)
+            cols.append(x[:, y0:y1, x0:x1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """ShuffleNet channel shuffle, NHWC (reference: common.py:6-20)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H, W, groups, C // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(B, H, W, C)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation gate (reference: common.py:23-37)."""
+
+    internal: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = Conv(self.internal, 1, use_bias=True, dtype=self.dtype, name="down")(s)
+        s = jax.nn.relu(s)
+        s = Conv(C, 1, use_bias=True, dtype=self.dtype, name="up")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class ChannelAttention(nn.Module):
+    """3x3-pooled depthwise gate with re-parameterizable conv+BN
+    (reference: common.py:40-90). Deploy fuses `att`+`att_bn` into `att_rep`.
+    """
+
+    deploy: bool = False
+    dropout: float = 0.3
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        y = adaptive_avg_pool(x, (3, 3))
+        if self.deploy:
+            att = Conv(
+                C, 3, 1, 0, groups=C, use_bias=True, dtype=self.dtype,
+                name="att_rep",
+            )(y)
+        else:
+            att = Conv(
+                C, 3, 1, 0, groups=C, use_bias=False, dtype=self.dtype,
+                name="att",
+            )(y)
+            att = BatchNorm(self.axis_name, dtype=self.dtype, name="att_bn")(
+                att, train
+            )
+        # channel dropout (torch Dropout2d) then bottleneck MLP gate
+        att = nn.Dropout(
+            rate=self.dropout, broadcast_dims=(1, 2), deterministic=not train
+        )(att)
+        att = Conv(C // 2, 1, use_bias=True, dtype=self.dtype, name="fc_down")(att)
+        att = leaky_relu(att)
+        att = Conv(C, 1, use_bias=True, dtype=self.dtype, name="fc_up")(att)
+        return x * jax.nn.sigmoid(att)
+
+
+def make_ca(ca_type: str, features: int, **kw):
+    """Channel-attention factory shared by models (reference liteHandNet.py:147-154)."""
+    if ca_type == "se":
+        return SEBlock(internal=max(features // 16, 1), **{k: v for k, v in kw.items() if k == "dtype"})
+    if ca_type == "ca":
+        return ChannelAttention(**kw)
+    if ca_type in ("none", None):
+        return None
+    raise ValueError(f"ca_type {ca_type!r} not in se|ca|none")
+
+
+def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Nearest-neighbor resize of NHWC to (h, w); matches torch
+    F.interpolate(mode='nearest') for integer up-scaling."""
+    h, w = size
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, h, w, C), method="nearest")
+
+
+def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 max pool (ceil mode, NHWC)."""
+    H, W = x.shape[1:3]
+    pad = ((0, H % 2), (0, W % 2))
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding=pad)
