@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""End-to-end inference benchmark: preprocess + LiteHandNet forward + DARK
+decode, images/sec/chip on the flagship model at 256x256.
+
+Prints ONE JSON line:
+    {"metric": "e2e_images_per_sec_per_chip", "value": N, "unit": "img/s",
+     "vs_baseline": N / 5000}
+
+vs_baseline is relative to the 5,000 img/s/chip north star
+(BASELINE.json; the PyTorch reference runs the same pipeline at 15.7 FPS
+batch-1 on the author's GPU, BASELINE.md §B).
+
+Method: M distinct uint8 batches are pre-staged in HBM; one jitted program
+loops over them doing uint8->float normalize -> bf16 deploy-fused forward ->
+f32 DARK(unbiased, k=11) decode -> coords, accumulating decoded coordinates
+so no iteration can be elided. Wall time is measured around full host-side
+materialization of the result (the remote-TPU tunnel's async dispatch makes
+`block_until_ready` unreliable for timing; np.asarray is not).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.config import config_from_dict
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.ops.decode import keypoints_from_heatmaps
+
+    B = 64          # batch per step
+    M = 16          # distinct pre-staged batches
+    SIZE = 256
+    cfg = config_from_dict(
+        dict(
+            MODEL=dict(
+                name="litehandnet", num_stage=4, num_block=[2, 2, 2],
+                input_channel=128, ca_type="ca", reduction=4,
+                activation="leakyrelu", output_channel=21,
+            ),
+            DATASET=dict(
+                num_joints=21, image_size=[SIZE, SIZE],
+                heatmap_size=[SIZE // 4, SIZE // 4],
+            ),
+        )
+    )
+    model = get_model(cfg, deploy=True, dtype=jnp.bfloat16)
+
+    # init at a small spatial size (conv params are spatial-size agnostic)
+    # to keep the one-off init compile cheap over the TPU tunnel.
+    small = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(k, small, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+    center = jnp.tile(jnp.float32([SIZE / 2, SIZE / 2]), (B, 1))
+    scale = jnp.tile(jnp.float32([SIZE / 200.0, SIZE / 200.0]), (B, 1))
+
+    def one_step(v, raw_u8):
+        img = (raw_u8.astype(jnp.float32) - mean) / std      # preprocess
+        hm = model.apply(v, img.astype(jnp.bfloat16), train=False)
+        _, preds, maxvals = keypoints_from_heatmaps(         # decode (DARK)
+            hm, center, scale, post_process="unbiased", kernel=11
+        )
+        return preds, maxvals
+
+    @jax.jit
+    def pipeline(v, stack):
+        def body(i, acc):
+            preds, maxvals = one_step(v, stack[i])
+            return acc + preds.sum() + maxvals.sum()
+        return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+    rng = np.random.RandomState(0)
+    stack = jnp.asarray(
+        rng.randint(0, 256, size=(M, B, SIZE, SIZE, 3), dtype=np.uint8)
+    )
+
+    # warm up / compile
+    float(pipeline(variables, stack))
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        result = float(pipeline(variables, stack))  # materialize = sync
+    dt = (time.time() - t0) / reps
+    imgs_per_sec = M * B / dt
+
+    assert np.isfinite(result)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 1),
+                "unit": "img/s",
+                "vs_baseline": round(imgs_per_sec / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Data-parallel runtime over a `jax.sharding.Mesh`.
+
+TPU-native replacement for the reference's NCCL DDP stack
+(train/spawn_dist.py, train/distributed_utils.py):
+
+* one 1-D ``data`` mesh axis instead of one process per GPU;
+* the train step runs under ``shard_map``: the batch is sharded over the
+  axis, params are replicated, and gradients are ``pmean``-ed over ICI —
+  the XLA-collective analogue of DDP's bucketed NCCL all-reduce;
+* SyncBN (spawn_dist.py:37-38) is BatchNorm with ``axis_name='data'``:
+  batch statistics are cross-device means inside the same step, no separate
+  wrapper needed; without it, updated running stats are still averaged
+  across replicas so the state stays replicated (DDP keeps rank-0's);
+* multi-host setup is ``jax.distributed.initialize`` + per-process data
+  sharding; ``jax.process_index() == 0`` replaces ``rank == 0`` gating;
+* bf16 replaces the fp16 master-weights/loss-scale machinery
+  (train/fp16_utils/) — params stay f32, compute can run bf16, no overflow
+  handling needed on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax>=0.5 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from litehandnet_tpu.train.state import TrainState
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate_spec():
+    return P()
+
+
+def batch_spec(axis: str = DATA_AXIS):
+    return P(axis)
+
+
+def make_train_step(
+    model,
+    criterion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted DP train step.
+
+    Returns ``train_step(state, batch, rng) -> (state, metrics)`` where
+    ``batch`` is a dict of arrays with a leading global batch dimension
+    (sharded over the mesh axis) and metrics are replicated scalars.
+    """
+
+    def per_device_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(trainable):
+            variables = {"params": trainable["model"]}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables,
+                batch["img"],
+                train=True,
+                mutable=mutable,
+                rngs={"dropout": rng},
+            )
+            if mutable:
+                out, mutated = out
+                new_stats = mutated["batch_stats"]
+            else:
+                new_stats = state.batch_stats
+            crit_vars = (
+                {"params": trainable["crit"]} if state.crit_params else {}
+            )
+            loss, loss_dict = criterion.apply(crit_vars, out, batch)
+            return loss, (new_stats, loss_dict)
+
+        trainable = {"model": state.params, "crit": state.crit_params}
+        (loss, (new_stats, loss_dict)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+
+        # DDP semantics: average gradients (and logged losses) across the
+        # data axis; keep BN running stats replicated.
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        loss_dict = jax.lax.pmean(loss_dict, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_trainable["model"],
+            crit_params=new_trainable["crit"],
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(loss=loss, **loss_dict)
+        return new_state, metrics
+
+    sharded = shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, criterion, mesh: Mesh, axis: str = DATA_AXIS):
+    """Jitted DP validation step: eval-mode forward + loss (reference
+    val_one_epoch, train/topdown_trainer.py:26-41). Returns (outputs, metrics);
+    outputs stay sharded over the axis."""
+
+    def per_device(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, batch["img"], train=False)
+        crit_vars = {"params": state.crit_params} if state.crit_params else {}
+        loss, loss_dict = criterion.apply(crit_vars, out, batch)
+        metrics = dict(loss=jax.lax.pmean(loss, axis))
+        metrics.update(jax.lax.pmean(loss_dict, axis))
+        return out, metrics
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def initialize_multihost(coordinator: Optional[str] = None):
+    """Multi-host bring-up (`jax.distributed.initialize`), the DCN analogue of
+    the reference's tcp:// / env:// / SLURM rendezvous
+    (train/distributed_utils.py:7-29). No-op when single-process."""
+    if jax.process_count() > 1 or coordinator is None:
+        return
+    jax.distributed.initialize(coordinator)
+
+
+def is_chief() -> bool:
+    """Replaces ``rank == 0`` gating."""
+    return jax.process_index() == 0

@@ -1,0 +1,167 @@
+"""Top-down trainer: epoch loops, eval gating, best-model tracking.
+
+The functional rebuild of the reference trainer
+(dist_train.py:50-233 + train/topdown_trainer.py): one jitted DP train step
+over the mesh instead of per-process DDP, LR warmup folded into the optax
+schedule, bf16-ready, chief-only logging/checkpointing.
+
+The trainer is data-source agnostic: `train_batches()` / `val_batches()` are
+callables returning an iterable of batch dicts (numpy or jax arrays, global
+batch leading dim divisible by the mesh size).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from litehandnet_tpu.losses import get_loss
+from litehandnet_tpu.models import get_model
+from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
+from litehandnet_tpu.train.distributed import (
+    is_chief,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+)
+from litehandnet_tpu.train.optim import make_optimizer_from_config
+from litehandnet_tpu.train.state import TrainState
+from litehandnet_tpu.utils.logging_ import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        steps_per_epoch: int,
+        num_devices: Optional[int] = None,
+        log_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = make_mesh(num_devices)
+        world = int(self.mesh.devices.size) * jax.process_count()
+        sync_bn = bool(cfg.TRAIN.get("syncBN", False))
+        self.model = get_model(cfg, axis_name="data" if sync_bn else None)
+        self.criterion = get_loss(cfg)
+        self.tx, self.schedule = make_optimizer_from_config(
+            cfg, steps_per_epoch=steps_per_epoch, world_size=world
+        )
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.tx, self.mesh
+        )
+        self.eval_step = make_eval_step(self.model, self.criterion, self.mesh)
+        self.steps_per_epoch = steps_per_epoch
+        directory = log_dir or run_dir(cfg)
+        self.ckpt = CheckpointManager(directory, cfg)
+        self.logger = MetricLogger(directory, enabled=is_chief())
+        self.min_val_loss = float("inf")
+        self.start_epoch = 0
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, sample_batch, seed: int = 0) -> TrainState:
+        img = jax.numpy.asarray(sample_batch["img"])
+        mv = self.model.init(jax.random.PRNGKey(seed), img, train=False)
+        out_shape = self.model.apply(mv, img[:1], train=False)
+        if isinstance(out_shape, (tuple, list)):
+            out_shape = out_shape[-1]
+        cv = self.criterion.init(
+            jax.random.PRNGKey(seed + 1), out_shape, _to_local(sample_batch, 1)
+        )
+        return self._replicate(TrainState.create(mv, cv, self.tx))
+
+    def _replicate(self, state: TrainState) -> TrainState:
+        """Place state replicated over the mesh (restored checkpoints come
+        back committed to a single device, which shard_map rejects)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(state, sharding)
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        if not self.cfg.CHECKPOINT.get("resume", False):
+            return state
+        restored, meta = self.ckpt.restore(
+            state, best=self.cfg.CHECKPOINT.get("load_best", False)
+        )
+        if restored is None:
+            return state
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.min_val_loss = float(meta.get("min_val_loss", float("inf")))
+        return self._replicate(restored)
+
+    # -- loops ------------------------------------------------------------
+    def train_one_epoch(self, state, batches: Iterable, epoch: int, rng):
+        """Reference train_one_epoch (topdown_trainer.py:68-87)."""
+        agg, n = {}, 0
+        for i, batch in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, sub)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + v
+        agg = {k: float(v) / max(n, 1) for k, v in agg.items()}
+        self.logger.log(epoch, agg, prefix="train/")
+        self.logger.log(
+            epoch, {"lr": float(self.schedule(int(state.step)))}
+        )
+        return state, agg, rng
+
+    def val_one_epoch(self, state, batches: Iterable, epoch: int):
+        """Reference val_one_epoch (topdown_trainer.py:26-41): loss-only."""
+        agg, n = {}, 0
+        for batch in batches:
+            _, metrics = self.eval_step(state, batch)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + v
+        agg = {k: float(v) / max(n, 1) for k, v in agg.items()}
+        self.logger.log(epoch, agg, prefix="val/")
+        return agg
+
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[int], Iterable],
+        val_batches: Optional[Callable[[], Iterable]] = None,
+        seed: int = 0,
+    ) -> TrainState:
+        cfg = self.cfg
+        total_epochs = int(cfg.TRAIN.get("total_epoches", 1))
+        eval_interval = int(cfg.EVAL.get("interval", 1)) if "EVAL" in cfg else 1
+        ckpt_interval = int(cfg.CHECKPOINT.get("interval", 10))
+        rng = jax.random.PRNGKey(seed + 1234)
+
+        state = self.maybe_resume(state)
+        for epoch in range(self.start_epoch, total_epochs):
+            t0 = time.time()
+            state, train_metrics, rng = self.train_one_epoch(
+                state, train_batches(epoch), epoch, rng
+            )
+            msg = (
+                f"epoch {epoch}: train_loss={train_metrics.get('loss', np.nan):.5f}"
+                f" ({time.time() - t0:.1f}s)"
+            )
+            if val_batches is not None and (epoch + 1) % eval_interval == 0:
+                val_metrics = self.val_one_epoch(state, val_batches(), epoch)
+                val_loss = sum(
+                    v for k, v in val_metrics.items() if k != "loss"
+                ) or val_metrics.get("loss", np.nan)
+                msg += f" val_loss={val_loss:.5f}"
+                if is_chief() and val_loss < self.min_val_loss:
+                    self.min_val_loss = val_loss
+                    self.ckpt.save(state, epoch, self.min_val_loss, best=True)
+            if is_chief() and (epoch + 1) % ckpt_interval == 0:
+                self.ckpt.save(state, epoch, self.min_val_loss)
+            if is_chief():
+                print(msg, flush=True)
+        return state
+
+
+def _to_local(batch, n):
+    return {
+        k: (np.asarray(v)[:n] if hasattr(v, "shape") else v)
+        for k, v in batch.items()
+    }

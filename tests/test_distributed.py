@@ -1,0 +1,119 @@
+"""DP train-step tests on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from litehandnet_tpu.config import config_from_dict
+from litehandnet_tpu.losses import get_loss
+from litehandnet_tpu.models import get_model
+from litehandnet_tpu.train import (
+    TrainState,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+)
+from litehandnet_tpu.train.optim import make_optimizer_from_config
+
+
+def _cfg(sync_bn=True, ca_type="ca"):
+    return config_from_dict(
+        dict(
+            MODEL=dict(
+                name="litehandnet", num_stage=3, num_block=[1, 1],
+                input_channel=32, ca_type=ca_type, reduction=2,
+                activation="leakyrelu", output_channel=21,
+            ),
+            DATASET=dict(num_joints=21, image_size=[64, 64], heatmap_size=[16, 16]),
+            PIPELINE=dict(simdr_split_ratio=0),
+            TRAIN=dict(total_epoches=2, batch_per_gpu=2, syncBN=sync_bn),
+            OPTIMIZER=dict(type="Adam", lr=1e-3, warmup_steps=0, step_epoch=[1]),
+            LOSS=dict(type="TopdownHeatmapLoss", loss_weight=[1.0, 0.1], auto_weight=False),
+        )
+    )
+
+
+def _setup(sync_bn=True, n_dev=8, ca_type="ca", lr_world_size=None):
+    cfg = _cfg(sync_bn, ca_type)
+    mesh = make_mesh(n_dev)
+    model = get_model(cfg, axis_name="data" if sync_bn else None)
+    crit = get_loss(cfg)
+    x = jnp.zeros((n_dev, 64, 64, 3))
+    batch = {
+        "img": x,
+        "target": jnp.zeros((n_dev, 16, 16, 21)),
+        "target_weight": jnp.ones((n_dev, 21)),
+    }
+    mv = model.init(jax.random.PRNGKey(0), x, train=False)
+    cv = crit.init(jax.random.PRNGKey(1), batch["target"], batch)
+    tx, _ = make_optimizer_from_config(
+        cfg, steps_per_epoch=10,
+        world_size=n_dev if lr_world_size is None else lr_world_size,
+    )
+    state = TrainState.create(mv, cv, tx)
+    return cfg, mesh, model, crit, tx, state, batch
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("sync_bn", [True, False])
+def test_train_step_runs_and_learns(sync_bn, rng):
+    cfg, mesh, model, crit, tx, state, batch = _setup(sync_bn)
+    step = make_train_step(model, crit, tx, mesh, donate=False)
+    imgs = jnp.asarray(rng.normal(size=(8, 64, 64, 3)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, size=(8, 16, 16, 21)).astype(np.float32))
+    batch = dict(batch, img=imgs, target=target)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_dp_matches_single_device(rng):
+    """8-way DP on a replicated batch must match 1-device training (the
+    gradient pmean over identical shards is an identity). Uses the SE
+    attention variant: ChannelAttention dropout draws per-device masks by
+    design, which would (correctly) break this equivalence; LR is held
+    fixed since the reference scales it by world size."""
+    imgs = np.tile(rng.normal(size=(1, 64, 64, 3)).astype(np.float32), (8, 1, 1, 1))
+    target = np.tile(
+        rng.uniform(0, 1, size=(1, 16, 16, 21)).astype(np.float32), (8, 1, 1, 1)
+    )
+
+    results = {}
+    for n_dev in (1, 8):
+        cfg, mesh, model, crit, tx, state, _ = _setup(
+            sync_bn=True, n_dev=n_dev, ca_type="se", lr_world_size=1
+        )
+        step = make_train_step(model, crit, tx, mesh, donate=False)
+        batch = {
+            "img": jnp.asarray(imgs[:n_dev]),
+            "target": jnp.asarray(target[:n_dev]),
+            "target_weight": jnp.ones((n_dev, 21)),
+        }
+        key = jax.random.PRNGKey(0)
+        state, metrics = step(state, batch, key)
+        results[n_dev] = (
+            np.asarray(jax.tree.leaves(state.params)[0]),
+            float(metrics["loss"]),
+        )
+    # first-step loss must agree to float rounding; later steps drift via
+    # Adam-amplified rounding (verified ~1e-4 at step 2, not a semantic gap)
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-5)
+    np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-3, atol=1e-6)
+
+
+def test_eval_step(rng):
+    cfg, mesh, model, crit, tx, state, batch = _setup()
+    estep = make_eval_step(model, crit, mesh)
+    out, metrics = estep(state, batch)
+    assert out.shape == (8, 16, 16, 21)
+    assert np.isfinite(float(metrics["loss"]))
