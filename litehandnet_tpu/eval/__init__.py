@@ -1,0 +1,8 @@
+"""Evaluation: keypoint metrics, decoder wrapper, detection AP."""
+
+from litehandnet_tpu.eval.metrics import (  # noqa: F401
+    keypoint_auc,
+    keypoint_epe,
+    keypoint_pck_accuracy,
+)
+from litehandnet_tpu.eval.decoder import TopDownDecoder  # noqa: F401

@@ -76,3 +76,8 @@ _register_lazy(
 )
 _register_lazy("srhandnet", "litehandnet_tpu.models.srhandnet", "SRHandNet")
 _register_lazy("atthandnet", "litehandnet_tpu.models.atthandnet", "AttHandNet")
+_register_lazy(
+    "mynet_stacked",
+    "litehandnet_tpu.models.ms_att_hourglass_stacked",
+    "MSAttHourglassStacked",
+)

@@ -1,0 +1,129 @@
+"""Data layer: dataset loading, host loader, fused device pipeline, and the
+GT-as-prediction evaluation sanity check (reference test.py:122)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from litehandnet_tpu.config import config_from_dict
+from litehandnet_tpu.data import build_dataset, dataset_names
+from litehandnet_tpu.data.loader import DataLoader
+
+
+@pytest.fixture(scope="module")
+def tiny_freihand(tmp_path_factory):
+    """Synthetic FreiHAND-style COCO dataset: 8 images with gaussian dots."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("freihand")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(8):
+        arr = rng.randint(0, 255, size=(224, 224, 3), dtype=np.uint8)
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        images.append(dict(id=i, file_name=f"images/{name}", width=224, height=224))
+        kpts = []
+        joints = rng.uniform(30, 190, size=(21, 2))
+        for x, y in joints:
+            kpts += [float(x), float(y), 1]
+        annotations.append(
+            dict(
+                id=i, image_id=i, category_id=1, iscrowd=0,
+                keypoints=kpts, bbox=[20.0, 20.0, 180.0, 180.0], area=32400.0,
+            )
+        )
+    ann = dict(
+        images=images,
+        annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )
+    ann_file = root / "train.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(root) + "/", str(ann_file)
+
+
+def _cfg(prefix, ann_file):
+    return config_from_dict(
+        dict(
+            MODEL=dict(name="litehandnet"),
+            DATASET=dict(
+                name="freihand", num_joints=21,
+                image_size=[224, 224], heatmap_size=[56, 56],
+                train=dict(ann_file=ann_file, img_prefix=prefix),
+                val=dict(ann_file=ann_file, img_prefix=prefix),
+                test=dict(ann_file=ann_file, img_prefix=prefix),
+            ),
+            PIPELINE=dict(
+                flip_prob=0.5, rot_prob=0.5, rot_factor=30, scale_factor=0.3,
+                use_udp=False, sigma=2, encoding="MSRA",
+                unbiased_encoding=True, simdr_split_ratio=2,
+            ),
+            TRAIN=dict(batch_per_gpu=1),
+            EVAL=dict(metric=["PCK", "AUC", "EPE"], pck_threshold=0.2),
+        )
+    )
+
+
+def test_registry_covers_reference_datasets():
+    names = dataset_names()
+    for expected in (
+        "freihand", "rhd2d", "onehand10k", "panoptic", "coco_wholebody_hand",
+        "zhhand", "coco", "mpii", "mpii_action",
+    ):
+        assert expected in names
+
+
+def test_dataset_db(tiny_freihand):
+    prefix, ann_file = tiny_freihand
+    ds = build_dataset(_cfg(prefix, ann_file), "train")
+    assert len(ds) == 8
+    rec = ds[0]
+    assert rec["joints_3d"].shape == (21, 3)
+    assert rec["center"].shape == (2,)
+    assert "ann_info" in rec
+
+
+def test_loader_device_pipeline(tiny_freihand):
+    prefix, ann_file = tiny_freihand
+    cfg = _cfg(prefix, ann_file)
+    loader = DataLoader(cfg, "train", batch_size=4, num_workers=2)
+    batches = list(loader.batches(epoch=0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["img"].shape == (4, 224, 224, 3)
+    assert b["target"].shape == (4, 56, 56, 21)
+    assert b["target_weight"].shape == (4, 21)
+    assert b["simdr_x"].shape == (4, 21, 448)
+    img = np.asarray(b["img"])
+    assert np.isfinite(img).all()
+    assert img.std() > 0.1  # normalized image, not empty
+
+
+def test_eval_pipeline_roundtrip(tiny_freihand):
+    """Eval pipeline (no augmentation) -> decode targets -> unwarp ->
+    original joints; then dataset.evaluate must give PCK=1, EPE~0."""
+    from litehandnet_tpu.eval.decoder import TopDownDecoder
+
+    prefix, ann_file = tiny_freihand
+    cfg = _cfg(prefix, ann_file)
+    loader = DataLoader(cfg, "val", batch_size=8, num_workers=2)
+    decoder = TopDownDecoder(cfg)
+    results = []
+    for batch in loader.batches():
+        meta = {
+            "center": batch["center"],
+            "scale": batch["scale"],
+            "image_file": batch["image_file"],
+            "bbox_id": batch["bbox_id"],
+            "bbox_score": batch["bbox_score"],
+        }
+        results.append(decoder.decode(meta, batch["target"]))
+    metrics = loader.dataset.evaluate(results, metric=["PCK", "AUC", "EPE"])
+    assert metrics["PCK"] == 1.0, metrics
+    assert metrics["EPE"] < 1.5, metrics
+    assert metrics["AUC"] > 0.9, metrics

@@ -1,0 +1,114 @@
+"""Model zoo: forward shapes + parameter-count parity with the reference's
+published numbers (BASELINE.md §B, from test_models_performance.ipynb)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from litehandnet_tpu.config import config_from_dict
+from litehandnet_tpu.models import get_model
+
+
+def _cfg(name, **model_kw):
+    return config_from_dict(
+        dict(
+            MODEL=dict(name=name, **model_kw),
+            DATASET=dict(num_joints=21, image_size=[64, 64], heatmap_size=[16, 16]),
+            PIPELINE=dict(simdr_split_ratio=0),
+        )
+    )
+
+
+def _n_params(model, x):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return sum(p.size for p in jax.tree.leaves(variables["params"])), variables
+
+
+CASES = [
+    # (name, model_kw, input_hw, expected_heatmap_hw, ref_params_M)
+    ("resnet", dict(depth=18, output_channel=21), 64, 16, 15.38),
+    ("resnet", dict(depth=50, output_channel=21), 64, 16, 30.62),
+    ("mobilenetv2", dict(output_channel=21), 64, 16, 9.59),
+    ("litehrnet", dict(depth=18, output_channel=21), 64, 16, 1.48),
+    ("litehrnet", dict(depth=30, output_channel=21), 64, 16, 1.77),
+    ("hourglass", dict(num_stack=1, input_channel=256, output_channel=21), 64, 16, 3.43),
+    ("hourglass", dict(num_stack=2, input_channel=256, output_channel=21), 64, 16, 6.57),
+    ("mynet", dict(num_stage=4, input_channel=128, num_block=[2, 2, 2], output_channel=21), 64, 16, 2.24),
+    ("hourglass_ablation", dict(num_stage=4, input_channel=128, num_block=[2, 2, 2], msrb=True, rca=False, ca_type="ca", output_channel=21), 64, 16, None),
+    ("srhandnet", dict(output_channel=24, pred_bbox=True), 64, None, 18.26),
+]
+
+
+@pytest.mark.parametrize(
+    "name,model_kw,in_hw,out_hw,ref_m",
+    CASES,
+    ids=[f"{c[0]}-{list(c[1].values())[0]}" for c in CASES],
+)
+def test_forward_and_params(name, model_kw, in_hw, out_hw, ref_m):
+    cfg = _cfg(name, **model_kw)
+    model = get_model(cfg)
+    x = jnp.zeros((1, in_hw, in_hw, 3))
+    n, variables = _n_params(model, x)
+    out = model.apply(
+        variables, x, train=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    if name == "srhandnet":
+        # scales: /16, /16, /8, /4 (reference SRhandNet.py:126-137)
+        assert len(out) == 4
+        assert out[0].shape == (1, in_hw // 16, in_hw // 16, 24)
+        assert out[3].shape == (1, in_hw // 4, in_hw // 4, 24)
+    elif name == "hourglass":
+        ns = model_kw["num_stack"]
+        assert out.shape == (1, ns, in_hw // 4, in_hw // 4, 21)
+    else:
+        assert out.shape == (1, out_hw, out_hw, 21), out.shape
+    assert np.isfinite(np.asarray(jax.tree.leaves(out)[0])).all()
+    if ref_m is not None:
+        assert abs(n / 1e6 - ref_m) / ref_m < 0.06, (
+            f"{name}: {n / 1e6:.3f}M vs reference {ref_m}M"
+        )
+
+
+def test_mynet_stacked_simdr_region():
+    cfg = config_from_dict(
+        dict(
+            MODEL=dict(
+                name="mynet_stacked", hm_loss_factor=[1.0, 1.0],
+                main_channels=128, hg_depth=4, increase=0,
+                with_region_map=True, simdr_split_ratio=2,
+            ),
+            DATASET=dict(num_joints=21, image_size=[64, 64], heatmap_size=[16, 16]),
+            PIPELINE=dict(simdr_split_ratio=2),
+        )
+    )
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    n, variables = _n_params(model, x)
+    hm_preds, pred_x, pred_y = model.apply(
+        variables, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert len(hm_preds) == 2
+    assert hm_preds[0].shape == (1, 16, 16, 24)  # 21 + 3 region channels
+    assert pred_x.shape == (1, 21, 128)
+    assert pred_y.shape == (1, 21, 128)
+
+
+def test_atthandnet_coords():
+    # needs 224 input: 7 blur-pool halvings must leave >=2 px (as reference)
+    cfg = _cfg("atthandnet", output_channel=42)
+    model = get_model(cfg)
+    x = jnp.zeros((1, 224, 224, 3))
+    n, variables = _n_params(model, x)
+    out = model.apply(
+        variables, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert out.shape == (1, 21, 2)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_unknown_model_raises():
+    with pytest.raises(KeyError):
+        get_model(_cfg("nonexistent"))
