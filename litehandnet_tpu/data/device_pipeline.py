@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from litehandnet_tpu.ops.affine import get_affine_transform, get_warp_matrix
-from litehandnet_tpu.ops.encode import msra_heatmaps, simdr_targets, udp_heatmaps
+from litehandnet_tpu.ops.encode import (
+    msra_heatmaps,
+    region_map,
+    simdr_targets,
+    udp_heatmaps,
+)
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -122,9 +127,16 @@ class DevicePipeline:
         is_train: enables flip/HSV/scale-rot augmentation.
     """
 
-    def __init__(self, cfg, flip_index: Sequence[int], is_train: bool = True):
+    def __init__(self, cfg, flip_index: Sequence[int], is_train: bool = True,
+                 with_region: bool = None):
         p = cfg.PIPELINE
         d = cfg.DATASET
+        if with_region is None:
+            m = cfg.get("MODEL", {})
+            with_region = bool(
+                m.get("pred_bbox", False) or m.get("with_region_map", False)
+            )
+        self.with_region = with_region
         self.image_size = tuple(int(v) for v in d.image_size)
         self.heatmap_size = tuple(int(v) for v in d.heatmap_size)
         self.flip_index = tuple(int(i) for i in flip_index)
@@ -145,7 +157,7 @@ class DevicePipeline:
         W, H = self.image_size
         flip_index = jnp.asarray(self.flip_index, jnp.int32)
 
-        def per_sample(image, joints, vis, center, scale, rotation, key):
+        def per_sample(image, joints, vis, center, scale, rotation, bbox, key):
             k_sr, k_rot, k_flip, k_hsv = jax.random.split(key, 4)
 
             # scale/rot sampling (TopDownGetRandomScaleRotation)
@@ -223,24 +235,56 @@ class DevicePipeline:
                 img=img, target=target, target_weight=weight,
                 joints=joints_c, center=center, scale=scale,
             )
+            if self.with_region:
+                # warp the source bbox into crop space (corner transform;
+                # rotation is forced off for region configs,
+                # config/__init__.py:33-36)
+                corners = jnp.stack([
+                    bbox[:2],
+                    bbox[:2] + bbox[2:],
+                ])
+                xy1 = jnp.concatenate([corners, jnp.ones((2, 1))], axis=-1)
+                warped = jnp.einsum("ij,kj->ki", fwd, xy1)
+                # account for a horizontal flip of the crop
+                x_lo = jnp.minimum(warped[0, 0], warped[1, 0])
+                x_hi = jnp.maximum(warped[0, 0], warped[1, 0])
+                x_lo_f = (W - 1.0) - x_hi
+                x_lo = jnp.where(do_flip, x_lo_f, x_lo)
+                bbox_c = jnp.stack([
+                    x_lo,
+                    jnp.minimum(warped[0, 1], warped[1, 1]),
+                    jnp.abs(warped[1, 0] - warped[0, 0]),
+                    jnp.abs(warped[1, 1] - warped[0, 1]),
+                ])
+                rmap = region_map(
+                    bbox_c, self.image_size, self.heatmap_size,
+                    float(self.sigma) if not isinstance(self.sigma, (list, tuple))
+                    else float(self.sigma[0]),
+                    encoding=self.encoding,
+                )
+                target = jnp.concatenate([target, rmap], axis=-1)
+                weight = jnp.concatenate([weight, jnp.ones(3)], axis=0)
+                out.update(target=target, target_weight=weight, bbox=bbox_c)
             if self.simdr_split_ratio > 0:
                 sx, sy = simdr_targets(
-                    joints_c, weight, self.image_size,
+                    joints_c, weight[: joints_c.shape[0]], self.image_size,
                     self.simdr_split_ratio, float(self.sigma),
                 )
                 out["simdr_x"] = sx
                 out["simdr_y"] = sy
             return out
 
-        def batch_fn(images, joints, vis, centers, scales, rotations, key):
+        def batch_fn(images, joints, vis, centers, scales, rotations, bboxes,
+                     key):
             keys = jax.random.split(key, images.shape[0])
             return jax.vmap(per_sample)(
-                images, joints, vis, centers, scales, rotations, keys
+                images, joints, vis, centers, scales, rotations, bboxes, keys
             )
 
         return batch_fn
 
-    def __call__(self, images, joints, vis, centers, scales, rotations, key):
+    def __call__(self, images, joints, vis, centers, scales, rotations, key,
+                 bboxes=None):
         """Run the fused pipeline.
 
         Args:
@@ -252,6 +296,13 @@ class DevicePipeline:
             key: PRNGKey.
 
         Returns:
-            batch dict with img / target / target_weight (+ simdr_x/y).
+            batch dict with img / target / target_weight (+ simdr_x/y;
+            + bbox and K+3 target channels when with_region).
         """
-        return self._fn(images, joints, vis, centers, scales, rotations, key)
+        import numpy as np
+
+        if bboxes is None:
+            bboxes = np.zeros((np.shape(images)[0], 4), np.float32)
+        return self._fn(
+            images, joints, vis, centers, scales, rotations, bboxes, key
+        )

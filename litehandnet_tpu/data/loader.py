@@ -114,6 +114,10 @@ class DataLoader:
             "center": np.stack([np.asarray(r["center"], np.float32) for r in records]),
             "scale": np.stack([np.asarray(r["scale"], np.float32) for r in records]),
             "rotation": np.zeros(len(records), np.float32),
+            "bbox": np.stack([
+                np.asarray(r.get("bbox", [0, 0, 0, 0]), np.float32)[:4]
+                for r in records
+            ]),
             "image_file": [r["image_file"] for r in records],
             "bbox_id": np.asarray([r.get("bbox_id", i) for i, r in enumerate(records)]),
             "bbox_score": np.asarray(
@@ -144,9 +148,13 @@ class DataLoader:
                 key, sub = jax.random.split(key)
                 out = self.pipeline(
                     raw["img_raw"], raw["joints"], raw["vis"], raw["center"],
-                    raw["scale"], raw["rotation"], sub,
+                    raw["scale"], raw["rotation"], sub, bboxes=raw["bbox"],
                 )
                 batch = dict(out)
+                batch["img_raw"] = raw["img_raw"]
+                batch["joints_src"] = raw["joints"]
+                batch["vis_src"] = raw["vis"]
+                batch["bbox"] = raw["bbox"]
                 batch["image_file"] = raw["image_file"]
                 batch["bbox_id"] = raw["bbox_id"]
                 batch["bbox_score"] = raw["bbox_score"]

@@ -1,6 +1,7 @@
 """Loss registry (reference surface: loss/__init__.py:18-19)."""
 
 from litehandnet_tpu.losses.losses import (  # noqa: F401
+    CenterSimdrLoss,
     KLDiscretLoss,
     SimDRLoss,
     SRHandNetLoss,
@@ -31,4 +32,6 @@ def get_loss(cfg):
         return SRHandNetLoss.from_config(cfg)
     if name == "topdownheatmaploss":
         return TopdownHeatmapLoss.from_config(cfg)
+    if name == "centersimdrloss":
+        return CenterSimdrLoss.from_config(cfg)
     raise KeyError(f"unknown loss {cfg.LOSS.type!r}")

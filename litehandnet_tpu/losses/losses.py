@@ -400,3 +400,52 @@ def reg_l1_loss(
     """Masked L1 for w/h + offset maps (reference: centernet_simdr_loss.py:110-123)."""
     loss = jnp.sum(jnp.abs(pred * mask - target * mask))
     return loss / (jnp.sum(mask) + 1e-4)
+
+
+class CenterSimdrLoss(nn.Module):
+    """Gen-1 criterion for the stacked center-map + SimDR workflow
+    (reference: train_distributed_center_simdr_freihand.py:196 with the loss
+    pieces of loss/heatmapLoss.py + centernet_simdr_loss.py): per-stack
+    balanced MSE on the K joint channels and the center channel, SmoothL1 on
+    the w/h channels, weighted by ``hm_loss_factor``, plus the SimDR
+    per-joint vector loss on the model's own pred_x/pred_y heads.
+    """
+
+    hm_loss_factor: Sequence[float] = (1.0, 1.0)
+    num_joints: int = 21
+    simdr_weight: float = 1.0
+
+    @classmethod
+    def from_config(cls, cfg):
+        m = cfg.MODEL
+        return cls(
+            hm_loss_factor=tuple(m.get("hm_loss_factor", [1.0, 1.0])),
+            num_joints=int(cfg.DATASET.num_joints),
+            simdr_weight=float(cfg.LOSS.get("simdr_weight", 1.0)),
+        )
+
+    @nn.compact
+    def __call__(self, outputs, batch):
+        hm_preds, pred_x, pred_y = outputs
+        target = batch["target"]            # [B, h, w, K+3]
+        weight = batch["target_weight"]     # [B, K+3]
+        K = self.num_joints
+        loss_dict = {}
+        hm_loss = 0.0
+        for i, hm in enumerate(hm_preds):
+            kpt = distance_loss(
+                hm[..., :K + 1], target[..., :K + 1], weight[:, :K + 1], "L2"
+            )
+            wh = distance_loss(
+                hm[..., K + 1:], target[..., K + 1:], weight[:, K + 1:],
+                "SmoothL1",
+            )
+            hm_loss = hm_loss + (kpt + wh) * self.hm_loss_factor[i]
+        loss_dict["heatmap"] = hm_loss
+        if pred_x is not None and "simdr_x" in batch:
+            loss_dict["simdr"] = self.simdr_weight * kl_discret_loss(
+                pred_x, pred_y, batch["simdr_x"], batch["simdr_y"],
+                weight[:, :K],
+            )
+        total = sum(loss_dict.values())
+        return total, loss_dict

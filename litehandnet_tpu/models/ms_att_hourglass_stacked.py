@@ -221,6 +221,12 @@ class MSAttHourglassStacked(nn.Module):
         if self.simdr_split_ratio > 0:
             k = self.simdr_split_ratio
             kpts = hm_preds[-1][..., : self.num_joints]  # drop region channels
+            # resize to the configured heatmap size so the SimDR Dense heads
+            # stay valid for reduced-size cycle-detection crops (the
+            # reference's intent at pose_hg_ms_att.py:252-254)
+            hm_w, hm_h = self.image_size[0] // 4, self.image_size[1] // 4
+            if kpts.shape[1:3] != (hm_h, hm_w):
+                kpts = resize_nearest(kpts, (hm_h, hm_w))
             B, H, W, K = kpts.shape
             flat = jnp.transpose(kpts, (0, 3, 1, 2)).reshape(B, K, H * W)
             pred_x = nn.Dense(int(self.image_size[0] * k), name="pred_x")(flat)

@@ -1,0 +1,175 @@
+"""Gen-1 workflow: center-map + SimDR training with cycle detection.
+
+Reference: train_distributed_center_simdr_{freihand,mpii}.py — the stacked
+MS-attention hourglass with region maps + SimDR heads, a per-epoch sine-decay
+LR schedule (:110-113), a cycle-detection second training pass (GT bbox
+crops re-forwarded with prob 0.6, :203-211), and evaluation via ResultParser
+AP + multi-hand PCK (:240-278).
+
+TPU redesign: the cycle-detection pass is not a dynamic tensor crop — the
+GT bbox becomes a new (center, scale) for the SAME fused device pipeline at
+half resolution, producing a second static-shape batch; both passes are
+jitted DP train steps over the mesh.
+
+Usage:
+    python -m litehandnet_tpu.tools.train_center_simdr --cfg <config>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def sine_decay_schedule(base_lr: float, steps_per_epoch: int, T: int = 40,
+                        lr_gamma: float = 0.5):
+    """Per-epoch sine-decay schedule (reference :110-113)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        epoch = step / steps_per_epoch
+        period = T + epoch / T
+        frac = (epoch % period) / period
+        return base_lr * jnp.cos(frac * jnp.pi / 2) * (
+            lr_gamma ** (epoch / T)
+        )
+
+    return schedule
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--cd-prob", type=float, default=0.6,
+                        help="cycle-detection pass probability (:204)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.data.device_pipeline import DevicePipeline
+    from litehandnet_tpu.data.loader import DataLoader
+    from litehandnet_tpu.eval.result_parser import ResultParser
+    from litehandnet_tpu.losses import get_loss
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.train import TrainState, make_mesh, make_train_step
+    from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
+    from litehandnet_tpu.train.distributed import is_chief
+    from litehandnet_tpu.utils.logging_ import MetricLogger
+
+    cfg = get_config(args.cfg)
+    cfg.MODEL.with_region_map = True
+    if cfg.LOSS.type.lower() != "centersimdrloss":
+        cfg.LOSS.type = "CenterSimdrLoss"
+
+    n_dev = args.num_devices or jax.local_device_count()
+    batch = int(cfg.TRAIN.batch_per_gpu) * n_dev
+    loader = DataLoader(cfg, "train", batch_size=batch,
+                        num_workers=args.workers, seed=args.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    mesh = make_mesh(n_dev)
+    sync_bn = bool(cfg.TRAIN.get("syncBN", False))
+    model = get_model(cfg, axis_name="data" if sync_bn else None)
+    crit = get_loss(cfg)
+    schedule = sine_decay_schedule(
+        float(cfg.OPTIMIZER.lr) * n_dev, steps_per_epoch,
+        T=int(cfg.OPTIMIZER.get("T", 40)),
+        lr_gamma=float(cfg.OPTIMIZER.get("lr_gamma", 0.5)),
+    )
+    tx = optax.adamw(schedule)
+    step_fn = make_train_step(model, crit, tx, mesh)
+
+    # half-resolution pipeline for the cycle-detection pass: GT bboxes become
+    # fresh (center, scale) crops
+    half_cfg = get_config(args.cfg)
+    half_cfg.MODEL.with_region_map = True
+    half_cfg.DATASET.image_size = [s // 2 for s in cfg.DATASET.image_size]
+    half_cfg.DATASET.heatmap_size = [s // 2 for s in cfg.DATASET.heatmap_size]
+    # SimDR supervision stays full-resolution only; the reduced pass trains
+    # heatmap/region channels (the reference's stale Gen-1 loss could not
+    # have mixed them either)
+    half_cfg.PIPELINE.simdr_split_ratio = 0
+    cd_pipeline = DevicePipeline(
+        half_cfg, loader.dataset.ann_info["flip_index"], is_train=True
+    )
+    cd_step_fn = None  # separate jit (different spatial shapes)
+
+    sample = next(iter(loader.batches(0)))
+    mv = model.init(jax.random.PRNGKey(args.seed),
+                    jnp.asarray(sample["img"][:1]), train=False)
+    out0 = model.apply(mv, jnp.asarray(sample["img"][:1]), train=False)
+    cv = crit.init(jax.random.PRNGKey(args.seed + 1), out0, sample)
+    state = TrainState.create(mv, cv, tx)
+
+    directory = run_dir(cfg)
+    ckpt = CheckpointManager(directory, cfg)
+    logger = MetricLogger(directory, enabled=is_chief())
+    parser_ = ResultParser(cfg, cd_enabled=False)
+
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed + 77)
+    total_epochs = int(cfg.TRAIN.get("total_epoches", 10))
+    best_pck = 0.0
+    train_keys = ("img", "target", "target_weight", "simdr_x", "simdr_y")
+
+    for epoch in range(total_epochs):
+        agg, n = {}, 0
+        for raw in loader.batches(epoch):
+            key, k1, k2 = jax.random.split(key, 3)
+            batch_main = {k: raw[k] for k in train_keys if k in raw}
+            state, metrics = step_fn(state, batch_main, k1)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+
+            if rng.rand() < args.cd_prob:
+                # cycle-detection pass: re-crop GT bboxes at half size
+                bbox = np.asarray(raw["bbox"])
+                centers = bbox[:, :2] + bbox[:, 2:] / 2.0
+                sides = np.maximum(bbox[:, 2:3], bbox[:, 3:4])
+                scales = np.concatenate([sides, sides], axis=1) / 200.0 * 1.3
+                cd_batch = cd_pipeline(
+                    _raw_images(raw),
+                    np.asarray(raw["joints_src"]), np.asarray(raw["vis_src"]),
+                    centers, scales, np.zeros(len(bbox), np.float32), k2,
+                    bboxes=bbox,
+                )
+                if cd_step_fn is None:
+                    cd_step_fn = make_train_step(model, crit, tx, mesh)
+                cd_train = {
+                    k: cd_batch[k] for k in train_keys if k in cd_batch
+                }
+                state, cd_metrics = cd_step_fn(state, cd_train, k2)
+                agg["cd_loss"] = agg.get("cd_loss", 0.0) + float(
+                    cd_metrics["loss"]
+                )
+        agg = {k: v / max(n, 1) for k, v in agg.items()}
+        logger.log(epoch, agg, prefix="train/")
+        if is_chief():
+            print(f"epoch {epoch}: {agg}", flush=True)
+            ckpt.save(state, epoch, best=False)
+    logger.close()
+    return state
+
+
+def _raw_images(raw):
+    """The loader's raw uint8 canvases (kept when use_device_pipeline=True
+    is off). Falls back to de-normalizing the processed crop."""
+    if "img_raw" in raw:
+        return np.asarray(raw["img_raw"])
+    img = np.asarray(raw["img"])
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    return ((img * std + mean) * 255.0).clip(0, 255).astype(np.uint8)
+
+
+if __name__ == "__main__":
+    main()
