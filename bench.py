@@ -32,8 +32,8 @@ def main():
     from litehandnet_tpu.models import get_model
     from litehandnet_tpu.ops.decode import keypoints_from_heatmaps
 
-    B = 64          # batch per step
-    M = 16          # distinct pre-staged batches
+    B = 128         # batch per step (best of the measured sweep)
+    M = 8           # distinct pre-staged batches
     SIZE = 256
     cfg = config_from_dict(
         dict(
