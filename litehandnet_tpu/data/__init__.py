@@ -45,3 +45,51 @@ def build_dataset(cfg, data_type: str = "train", rng=None):
     datasets/build_dataset.py:97-146)."""
     cls = get_dataset_class(cfg.DATASET.name.lower())
     return cls(cfg.DATASET, data_type=data_type, rng=rng)
+
+
+class ConcatDataset:
+    """Concatenation of multiple datasets (reference: the vendored
+    ConcatDataset at datasets/build_dataset.py:15-95 — which the reference
+    then never actually uses, returning only the last dataset at :146; this
+    one works)."""
+
+    def __init__(self, datasets):
+        assert datasets, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self.cumulative_sizes = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cumulative_sizes.append(total)
+        # shared surface with Kpt2dDataset
+        first = self.datasets[0]
+        self.ann_info = first.ann_info
+        self.dataset_name = "+".join(d.dataset_name for d in self.datasets)
+
+    def __len__(self):
+        return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
+
+    def _locate(self, idx):
+        import bisect
+
+        if idx < 0:
+            idx += len(self)
+        di = bisect.bisect_right(self.cumulative_sizes, idx)
+        start = 0 if di == 0 else self.cumulative_sizes[di - 1]
+        return di, idx - start
+
+    def __getitem__(self, idx):
+        di, li = self._locate(idx)
+        return self.datasets[di][li]
+
+    @property
+    def db(self):
+        out = []
+        for d in self.datasets:
+            out.extend(d.db)
+        return out
+
+
+def build_concat_dataset(cfgs, data_type="train", rng=None):
+    """Build a multi-dataset union from several experiment configs."""
+    return ConcatDataset([build_dataset(c, data_type, rng=rng) for c in cfgs])

@@ -77,6 +77,11 @@ _register_lazy(
 _register_lazy("srhandnet", "litehandnet_tpu.models.srhandnet", "SRHandNet")
 _register_lazy("atthandnet", "litehandnet_tpu.models.atthandnet", "AttHandNet")
 _register_lazy(
+    "litehandnet_msrb",
+    "litehandnet_tpu.models.litehandnet_msrb",
+    "LiteHandNetMSRB",
+)
+_register_lazy(
     "mynet_stacked",
     "litehandnet_tpu.models.ms_att_hourglass_stacked",
     "MSAttHourglassStacked",
