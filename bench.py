@@ -3,8 +3,8 @@
 decode, images/sec/chip on the flagship model at 256x256.
 
 Prints ONE JSON line:
-    {"metric": "e2e_images_per_sec_per_chip", "value": N, "unit": "img/s",
-     "vs_baseline": N / 5000}
+    {"metric": "e2e_images_per_sec_per_chip", "num_chips": N_DEV,
+     "value": N, "unit": "img/s", "vs_baseline": N / 5000}
 
 vs_baseline is relative to the 5,000 img/s/chip north star
 (BASELINE.json; the PyTorch reference runs the same pipeline at 15.7 FPS
@@ -27,13 +27,23 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from litehandnet_tpu.config import config_from_dict
     from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.train.distributed import make_mesh
+
     from litehandnet_tpu.ops.decode import keypoints_from_heatmaps
 
-    B = 128         # batch per step (best of the measured sweep)
-    M = 8           # distinct pre-staged batches
+    import os
+
+    n_dev = jax.local_device_count()
+    # 128/chip was the best of the measured sweep; env overrides support
+    # quick validation runs (e.g. on the virtual CPU mesh)
+    B = int(os.environ.get("LHN_BENCH_B", 128)) * n_dev
+    M = int(os.environ.get("LHN_BENCH_M", 8))
+    # the whole pipeline shards over a 1-D data mesh: with >1 chip the batch
+    # splits across ICI and throughput scales; per-chip rate is reported.
     SIZE = 256
     cfg = config_from_dict(
         dict(
@@ -77,10 +87,17 @@ def main():
             return acc + preds.sum() + maxvals.sum()
         return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
+    mesh = make_mesh(n_dev)
+    batch_sharding = NamedSharding(mesh, P(None, "data"))
+    replicated = NamedSharding(mesh, P())
     rng = np.random.RandomState(0)
-    stack = jnp.asarray(
-        rng.randint(0, 256, size=(M, B, SIZE, SIZE, 3), dtype=np.uint8)
+    stack = jax.device_put(
+        jnp.asarray(
+            rng.randint(0, 256, size=(M, B, SIZE, SIZE, 3), dtype=np.uint8)
+        ),
+        batch_sharding,
     )
+    variables = jax.device_put(variables, replicated)
 
     # warm up / compile
     float(pipeline(variables, stack))
@@ -90,13 +107,14 @@ def main():
     for _ in range(reps):
         result = float(pipeline(variables, stack))  # materialize = sync
     dt = (time.time() - t0) / reps
-    imgs_per_sec = M * B / dt
+    imgs_per_sec = M * B / dt / n_dev  # per chip
 
     assert np.isfinite(result)
     print(
         json.dumps(
             {
                 "metric": "e2e_images_per_sec_per_chip",
+                "num_chips": n_dev,
                 "value": round(imgs_per_sec, 1),
                 "unit": "img/s",
                 "vs_baseline": round(imgs_per_sec / 5000.0, 3),

@@ -159,10 +159,22 @@ class TopDownCocoDataset(Kpt2dDataset):
                 img_kpts = [img_kpts[i] for i in keep]
             valid_kpts.extend(img_kpts)
 
-        ap = self._oks_map(valid_kpts)
-        return OrderedDict([("AP", ap), ("mAP", ap)])
+        stats = OrderedDict()
+        stats["AP"] = self._oks_map(valid_kpts)
+        stats["AP .5"] = self._oks_map(valid_kpts, thresholds=[0.5])
+        stats["AP .75"] = self._oks_map(valid_kpts, thresholds=[0.75])
+        # COCO area ranges (the vendored COCOeval variants,
+        # myeval_hand.py:14-501, report per-area APs)
+        stats["AP (M)"] = self._oks_map(
+            valid_kpts, area_range=(32**2, 96**2)
+        )
+        stats["AP (L)"] = self._oks_map(
+            valid_kpts, area_range=(96**2, 1e10)
+        )
+        stats["mAP"] = stats["AP"]
+        return stats
 
-    def _oks_map(self, detections):
+    def _oks_map(self, detections, thresholds=None, area_range=None):
         """Self-contained OKS mean-AP over thresholds .5:.05:.95 (compact
         replacement for the vendored COCOeval, reference
         utils/post_processing/evaluation/myeval_hand.py)."""
@@ -172,6 +184,10 @@ class TopDownCocoDataset(Kpt2dDataset):
             vis = item["joints_3d_visible"][:, 0]
             if vis.sum() == 0:
                 continue
+            if area_range is not None:
+                a = float(item["bbox"][2] * item["bbox"][3])
+                if not (area_range[0] <= a < area_range[1]):
+                    continue
             g = np.concatenate(
                 [item["joints_3d"][:, :2], vis[:, None]], axis=1
             ).flatten()
@@ -185,7 +201,10 @@ class TopDownCocoDataset(Kpt2dDataset):
             return 0.0
 
         detections = sorted(detections, key=lambda d: -d["score"])
-        thrs = np.arange(0.5, 1.0, 0.05)
+        thrs = (
+            np.asarray(thresholds) if thresholds is not None
+            else np.arange(0.5, 1.0, 0.05)
+        )
         aps = []
         for thr in thrs:
             matched = {k: np.zeros(len(v), bool) for k, v in gts.items()}
