@@ -76,6 +76,7 @@ _register_lazy(
 )
 _register_lazy("srhandnet", "litehandnet_tpu.models.srhandnet", "SRHandNet")
 _register_lazy("atthandnet", "litehandnet_tpu.models.atthandnet", "AttHandNet")
+_register_lazy("classifier", "litehandnet_tpu.models.classifier", "ImageClassifier")
 _register_lazy("yolov6", "litehandnet_tpu.models.yolov6", "YOLOv6")
 _register_lazy(
     "litehandnet_msrb",

@@ -112,3 +112,36 @@ def test_atthandnet_coords():
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         get_model(_cfg("nonexistent"))
+
+
+def test_litehandnet_msrb():
+    cfg = _cfg(
+        "litehandnet_msrb", num_stage=3, input_channel=32, msrb_ca="ca",
+        rbu_ca="ca", output_channel=21,
+    )
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    n, variables = _n_params(model, x)
+    out = model.apply(
+        variables, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert out.shape == (1, 16, 16, 21)
+
+
+def test_yolov6_detector():
+    cfg = _cfg("yolov6", num_classes=1, width_multiple=0.25)
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    n, variables = _n_params(model, x)
+    out = model.apply(variables, x, train=False)
+    # strides 8/16/32 -> 64 + 16 + 4 anchors
+    assert out.shape == (1, 84, 6)
+
+
+def test_classifier():
+    cfg = _cfg("classifier", num_classes=10)
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    n, variables = _n_params(model, x)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
