@@ -222,3 +222,40 @@ def masked_nms(
         return out.at[:, 4].set(final_conf[out_order])
 
     return jax.vmap(per_image)(candidates, conf)
+
+
+def xyxy2xywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(x1, y1, x2, y2) -> (cx, cy, w, h) (reference: bbox_metric.py)."""
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    return jnp.stack(
+        [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1
+    )
+
+
+def clip_boxes(boxes: jnp.ndarray, width: float, height: float) -> jnp.ndarray:
+    """Clip xyxy boxes to image bounds (reference: bbox_transform.py)."""
+    return jnp.stack(
+        [
+            jnp.clip(boxes[..., 0], 0, width),
+            jnp.clip(boxes[..., 1], 0, height),
+            jnp.clip(boxes[..., 2], 0, width),
+            jnp.clip(boxes[..., 3], 0, height),
+        ],
+        axis=-1,
+    )
+
+
+def rescale_boxes(boxes: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Scale box coordinates (reference: bbox_transform.py rescale)."""
+    return boxes * scale
+
+
+def flip_boxes(boxes: jnp.ndarray, width: float) -> jnp.ndarray:
+    """Horizontal flip of xyxy boxes (reference: bbox_transform.py)."""
+    return jnp.stack(
+        [
+            width - boxes[..., 2], boxes[..., 1],
+            width - boxes[..., 0], boxes[..., 3],
+        ],
+        axis=-1,
+    )

@@ -54,8 +54,29 @@ def main(argv=None):
     decoder = TopDownDecoder(cfg)
     parser_ = ResultParser(cfg) if with_region else None
 
-    for path in args.inputs:
-        img = np.asarray(Image.open(path).convert("RGB").resize((W, H)))
+    def iter_frames():
+        """Yield (tag, RGB frame) from image files or a video (when cv2 is
+        importable, mirroring test/video_demo.py)."""
+        for path in args.inputs:
+            if path.lower().endswith((".mp4", ".avi", ".mov", ".mkv")):
+                import cv2
+
+                cap = cv2.VideoCapture(path)
+                n = 0
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    yield f"{os.path.basename(path)}_{n:05d}.jpg", frame[..., ::-1]
+                    n += 1
+                cap.release()
+            else:
+                yield os.path.basename(path), np.asarray(
+                    Image.open(path).convert("RGB")
+                )
+
+    for tag, frame in iter_frames():
+        img = np.asarray(Image.fromarray(frame).resize((W, H)))
         inp = ((img / 255.0 - mean) / std).astype(np.float32)[None]
         out = fwd(variables, jnp.asarray(inp))
         if isinstance(out, (tuple, list)):
@@ -80,7 +101,7 @@ def main(argv=None):
                 img, res["preds"][0], info.skeleton, info.pose_kpt_color,
                 info.pose_link_color,
             )
-        out_path = os.path.join(args.out_dir, os.path.basename(path))
+        out_path = os.path.join(args.out_dir, tag)
         Image.fromarray(vis).save(out_path)
         print(f"wrote {out_path}", flush=True)
 
