@@ -76,7 +76,7 @@ def main(argv=None):
     steps_per_epoch = max(len(loader), 1)
 
     mesh = make_mesh(n_dev)
-    sync_bn = bool(cfg.TRAIN.get("syncBN", False))
+    sync_bn = bool(cfg.TRAIN.get("syncBN", False)) and n_dev > 1
     model = get_model(cfg, axis_name="data" if sync_bn else None)
     crit = get_loss(cfg)
     schedule = sine_decay_schedule(

@@ -44,7 +44,10 @@ class Trainer:
         self.mesh = make_mesh(num_devices)
         world = int(self.mesh.devices.size) * jax.process_count()
         sync_bn = bool(cfg.TRAIN.get("syncBN", False))
-        self.model = get_model(cfg, axis_name="data" if sync_bn else None)
+        # cross-device BN needs a named mesh axis, which only exists on the
+        # shard_map path (mesh size > 1); single-device SyncBN == plain BN
+        use_axis = sync_bn and int(self.mesh.devices.size) > 1
+        self.model = get_model(cfg, axis_name="data" if use_axis else None)
         self.criterion = get_loss(cfg)
         self.tx, self.schedule = make_optimizer_from_config(
             cfg, steps_per_epoch=steps_per_epoch, world_size=world

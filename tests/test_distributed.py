@@ -37,7 +37,9 @@ def _cfg(sync_bn=True, ca_type="ca"):
 def _setup(sync_bn=True, n_dev=8, ca_type="ca", lr_world_size=None):
     cfg = _cfg(sync_bn, ca_type)
     mesh = make_mesh(n_dev)
-    model = get_model(cfg, axis_name="data" if sync_bn else None)
+    model = get_model(
+        cfg, axis_name="data" if (sync_bn and n_dev > 1) else None
+    )
     crit = get_loss(cfg)
     x = jnp.zeros((n_dev, 64, 64, 3))
     batch = {
