@@ -83,6 +83,14 @@ pcfg = Config(
     cycle_detection_area_ratio=0.1,
     # SimDR decoding
     simdr_nms_kernel=5,
+    # bottom-up tag grouping (Gen-1 HeatmapParser)
+    tag_threshold=1.0,
+    use_detection_val=True,
+    ignore_too_much=False,
+    bbox_k=8,
+    region_avg_kernel=3,
+    region_avg_stride=1,
+    region_avg_padding=1,
 )
 
 
