@@ -75,3 +75,34 @@ def test_host_pipeline_matches_device(rng, tmp_path):
     np.testing.assert_allclose(
         host["simdr_x"], np.asarray(dev["simdr_x"][0]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_photometric_parity_with_reference(rng):
+    """gamma/sigmoid adjust vs the reference numpy implementations."""
+    import pytest
+
+    from tests import ref_loader
+
+    if not ref_loader.reference_available():
+        pytest.skip("reference absent")
+    import sys, types
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    try:
+        ref = ref_loader._load(
+            "utils/data_augmentation.py", "_ref_data_aug"
+        )
+    except Exception as e:  # heavy imports in the reference module
+        pytest.skip(f"reference module unloadable: {e}")
+
+    from litehandnet_tpu.ops.photometric import adjust_gamma, adjust_sigmoid
+
+    img = rng.randint(0, 255, size=(32, 32, 3)).astype(np.float32)
+    if hasattr(ref, "adjust_gamma"):
+        want = np.asarray(ref.adjust_gamma(img.copy(), 1.5), np.float32)
+        got = np.asarray(adjust_gamma(img, 1.5))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.0)
+    if hasattr(ref, "adjust_sigmoid"):
+        want = np.asarray(ref.adjust_sigmoid(img.copy()), np.float32)
+        got = np.asarray(adjust_sigmoid(img))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.0)
