@@ -138,7 +138,17 @@ class DevicePipeline:
             )
         self.with_region = with_region
         self.image_size = tuple(int(v) for v in d.image_size)
-        self.heatmap_size = tuple(int(v) for v in d.heatmap_size)
+        hm = d.heatmap_size
+        # multi-scale targets (SRHandNet): heatmap_size is a list of pairs
+        # and sigma a list (reference: SRHandNetGenerateTarget,
+        # generateTarget.py:369-426)
+        self.multiscale = bool(hm and isinstance(hm[0], (list, tuple)))
+        if self.multiscale:
+            self.heatmap_sizes = [tuple(int(v) for v in h) for h in hm]
+            self.heatmap_size = self.heatmap_sizes[-1]
+        else:
+            self.heatmap_sizes = None
+            self.heatmap_size = tuple(int(v) for v in hm)
         self.flip_index = tuple(int(i) for i in flip_index)
         self.is_train = is_train
         self.flip_prob = float(p.get("flip_prob", 0.5)) if is_train else 0.0
@@ -221,16 +231,32 @@ class DevicePipeline:
             img = (img / 255.0 - mean) / std
 
             # targets
-            if self.encoding.upper() == "UDP":
-                target, weight = udp_heatmaps(
-                    joints_c, vis, self.image_size, self.heatmap_size,
-                    float(self.sigma),
+            sigmas = (
+                list(self.sigma) if isinstance(self.sigma, (list, tuple))
+                else [self.sigma]
+            )
+
+            def encode_at(hm_size, sig):
+                if self.encoding.upper() == "UDP":
+                    return udp_heatmaps(
+                        joints_c, vis, self.image_size, hm_size, float(sig)
+                    )
+                return msra_heatmaps(
+                    joints_c, vis, self.image_size, hm_size, float(sig),
+                    unbiased=self.unbiased,
                 )
+
+            if self.multiscale:
+                if len(sigmas) == 1:
+                    sigmas = sigmas * len(self.heatmap_sizes)
+                targets, weights = [], []
+                for hm_size, sig in zip(self.heatmap_sizes, sigmas):
+                    t, w = encode_at(hm_size, sig)
+                    targets.append(t)
+                    weights.append(w)
+                target, weight = targets, weights
             else:
-                target, weight = msra_heatmaps(
-                    joints_c, vis, self.image_size, self.heatmap_size,
-                    float(self.sigma), unbiased=self.unbiased,
-                )
+                target, weight = encode_at(self.heatmap_size, sigmas[0])
             out = dict(
                 img=img, target=target, target_weight=weight,
                 joints=joints_c, center=center, scale=scale,
@@ -256,14 +282,31 @@ class DevicePipeline:
                     jnp.abs(warped[1, 0] - warped[0, 0]),
                     jnp.abs(warped[1, 1] - warped[0, 1]),
                 ])
-                rmap = region_map(
-                    bbox_c, self.image_size, self.heatmap_size,
-                    float(self.sigma) if not isinstance(self.sigma, (list, tuple))
-                    else float(self.sigma[0]),
-                    encoding=self.encoding,
+                sig0 = (
+                    float(self.sigma[0])
+                    if isinstance(self.sigma, (list, tuple))
+                    else float(self.sigma)
                 )
-                target = jnp.concatenate([target, rmap], axis=-1)
-                weight = jnp.concatenate([weight, jnp.ones(3)], axis=0)
+                if self.multiscale:
+                    target = [
+                        jnp.concatenate([
+                            t,
+                            region_map(bbox_c, self.image_size, hm_size,
+                                       sig0, encoding=self.encoding),
+                        ], axis=-1)
+                        for t, hm_size in zip(target, self.heatmap_sizes)
+                    ]
+                    weight = [
+                        jnp.concatenate([w, jnp.ones(3)], axis=0)
+                        for w in weight
+                    ]
+                else:
+                    rmap = region_map(
+                        bbox_c, self.image_size, self.heatmap_size, sig0,
+                        encoding=self.encoding,
+                    )
+                    target = jnp.concatenate([target, rmap], axis=-1)
+                    weight = jnp.concatenate([weight, jnp.ones(3)], axis=0)
                 out.update(target=target, target_weight=weight, bbox=bbox_c)
             if self.simdr_split_ratio > 0:
                 sx, sy = simdr_targets(
