@@ -57,7 +57,12 @@ def distance_loss(
     """
     crit = _CRITERIA[loss_type.lower()]
     loss = crit(output, target)
-    if loss.ndim == 4:  # [B, H, W, K] — weight broadcasts over H, W
+    if loss.ndim == 5:
+        # stacked hourglass [B, S, H, W, K]: the target broadcasts over the
+        # stack dim = intermediate supervision on every stack (the reference
+        # relies on the same implicit broadcast, topdown_trainer.py:68-87)
+        w = target_weight[:, None, None, None, :]
+    elif loss.ndim == 4:  # [B, H, W, K] — weight broadcasts over H, W
         w = target_weight[:, None, None, :]
     else:  # [B, K, D]
         w = target_weight[..., None]

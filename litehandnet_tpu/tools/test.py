@@ -53,10 +53,14 @@ def main(argv=None):
     sample = next(iter(loader.batches(0)))
     mv = model.init(jax.random.PRNGKey(0), jnp.asarray(sample["img"][:1]),
                     train=False)
+    # pass the raw model output structure: each criterion knows its own
+    # shape (tuple of scales for SRHandNetLoss, stacked array for hourglass)
     out0 = model.apply(mv, jnp.asarray(sample["img"][:1]), train=False)
-    if isinstance(out0, (tuple, list)):
-        out0 = out0[0] if not isinstance(out0[0], (tuple, list)) else out0[0][0]
-    cv = crit.init(jax.random.PRNGKey(1), out0, sample) if hasattr(
+    sample1 = {
+        k: (np.asarray(v)[:1] if hasattr(v, "shape") else v)
+        for k, v in sample.items()
+    }
+    cv = crit.init(jax.random.PRNGKey(1), out0, sample1) if hasattr(
         crit, "init") else {}
     tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
     template = TrainState.create(mv, cv, tx)
@@ -84,6 +88,8 @@ def main(argv=None):
             outputs = outputs[-1]  # srhandnet: finest scale (test.py:117)
         if outputs.ndim == 5:
             outputs = outputs[:, -1]  # stacked hourglass: last stack
+        # drop region-map channels (center + w/h) when present
+        outputs = outputs[..., : cfg.DATASET.num_joints]
         meta_batch = {
             k: batch[k]
             for k in ("center", "scale", "image_file", "bbox_id", "bbox_score")
