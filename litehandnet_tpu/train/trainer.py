@@ -67,11 +67,11 @@ class Trainer:
     def init_state(self, sample_batch, seed: int = 0) -> TrainState:
         img = jax.numpy.asarray(sample_batch["img"])
         mv = self.model.init(jax.random.PRNGKey(seed), img, train=False)
-        out_shape = self.model.apply(mv, img[:1], train=False)
-        if isinstance(out_shape, (tuple, list)):
-            out_shape = out_shape[-1]
+        # criteria consume the model's raw output structure (tuple of scales
+        # for SRHandNetLoss, stacked array for hourglass)
+        out0 = self.model.apply(mv, img[:1], train=False)
         cv = self.criterion.init(
-            jax.random.PRNGKey(seed + 1), out_shape, _to_local(sample_batch, 1)
+            jax.random.PRNGKey(seed + 1), out0, _to_local(sample_batch, 1)
         )
         return self._replicate(TrainState.create(mv, cv, self.tx))
 
