@@ -32,7 +32,11 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from litehandnet_tpu.ops.affine import get_affine_transform, get_warp_matrix
+from litehandnet_tpu.ops.affine import (
+    get_affine_transform,
+    get_warp_matrix,
+    invert_affine,
+)
 from litehandnet_tpu.ops.encode import (
     msra_heatmaps,
     region_map,
@@ -168,29 +172,34 @@ class DevicePipeline:
         flip_index = jnp.asarray(self.flip_index, jnp.int32)
 
         def per_sample(image, joints, vis, center, scale, rotation, bbox, key):
-            k_sr, k_rot, k_flip, k_hsv = jax.random.split(key, 4)
+            k_s, k_r, k_rot, k_flip, k_hsv = jax.random.split(key, 5)
 
-            # scale/rot sampling (TopDownGetRandomScaleRotation)
+            # scale/rot sampling (TopDownGetRandomScaleRotation) — two
+            # INDEPENDENT normal draws, as in topdown_affine.py:36-40
             sf, rf = self.scale_factor, self.rot_factor
             s_mult = jnp.clip(
-                jax.random.normal(k_sr) * sf + 1.0, 1.0 - sf, 1.0 + sf
+                jax.random.normal(k_s) * sf + 1.0, 1.0 - sf, 1.0 + sf
             )
-            rot = jnp.clip(jax.random.normal(k_sr) * rf, -2.0 * rf, 2.0 * rf)
+            rot = jnp.clip(jax.random.normal(k_r) * rf, -2.0 * rf, 2.0 * rf)
             rot = jnp.where(
                 jax.random.uniform(k_rot) <= self.rot_prob, rot, 0.0
             )
+            if not self.is_train:
+                # eval: no sampling; honor the caller-provided rotation
+                # (0 in the reference val pipeline)
+                rot = rotation
             scale = scale * s_mult
 
             # affine crop: dst->src matrix, bilinear gather
             if self.use_udp:
+                # ONE matrix for joints AND pixels, exactly as the reference
+                # (topdown_affine.py:76: get_warp_matrix(r, c*2.0,
+                # image_size-1.0, s*200.0); cv2.warpAffine inverts it
+                # internally to sample the source).
                 fwd = get_warp_matrix(
-                    rot, scale * 200.0, (W - 1.0, H - 1.0), scale * 200.0
+                    rot, center * 2.0, (W - 1.0, H - 1.0), scale * 200.0
                 )
-                # UDP warp maps the ROI centered at `center`; build src
-                # coords by shifting the ROI into place.
-                inv = get_affine_transform(
-                    center, scale, rot, (W, H), inv=True
-                )
+                inv = invert_affine(fwd)
             else:
                 fwd = get_affine_transform(center, scale, rot, (W, H))
                 inv = get_affine_transform(center, scale, rot, (W, H), inv=True)

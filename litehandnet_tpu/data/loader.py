@@ -21,22 +21,54 @@ from litehandnet_tpu.data import build_dataset
 from litehandnet_tpu.data.device_pipeline import DevicePipeline
 
 
-def _load_image(path: str, canvas_hw):
-    """Decode an image into a zero-padded uint8 canvas [H0, W0, 3] (RGB)."""
+def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
+    """Decode an image into a zero-padded uint8 canvas [H0, W0, 3] (RGB).
+
+    Sources larger than the canvas keep their ROI (reference semantics:
+    full-image decode, datasets/loading.py:6-89): first a window around the
+    bbox — sized to cover the crop box under maximum scale jitter and ANY
+    rotation (half-diagonal bound) — is sliced out; if that window still
+    exceeds the canvas it is downscaled to fit, at full quality via PIL
+    bilinear. Geometry is returned so callers can remap annotations.
+
+    Returns:
+        (canvas, offset_xy, scale_xy): source-image coords map to canvas
+        coords as ``(p - offset_xy) * scale_xy``.
+    """
     from PIL import Image
 
     H0, W0 = canvas_hw
     canvas = np.zeros((H0, W0, 3), np.uint8)
+    offset = np.zeros(2, np.float32)
+    fscale = np.ones(2, np.float32)
     try:
         with Image.open(path) as im:
             im = im.convert("RGB")
             arr = np.asarray(im, np.uint8)
     except (FileNotFoundError, OSError):
-        return canvas
-    h = min(arr.shape[0], H0)
-    w = min(arr.shape[1], W0)
-    canvas[:h, :w] = arr[:h, :w]
-    return canvas
+        return canvas, offset, fscale
+    h, w = arr.shape[:2]
+    if (h > H0 or w > W0) and center is not None and scale is not None:
+        wx, wy = np.asarray(scale, np.float32) * 200.0 * float(margin)
+        half = float(np.hypot(wx, wy)) / 2.0 + 4.0
+        x0 = max(int(np.floor(center[0] - half)), 0)
+        y0 = max(int(np.floor(center[1] - half)), 0)
+        x1 = min(int(np.ceil(center[0] + half)), w)
+        y1 = min(int(np.ceil(center[1] + half)), h)
+        if x1 > x0 and y1 > y0:
+            arr = arr[y0:y1, x0:x1]
+            offset = np.float32([x0, y0])
+            h, w = arr.shape[:2]
+    if h > H0 or w > W0:
+        f = min(H0 / h, W0 / w)
+        nw, nh = max(int(w * f), 1), max(int(h * f), 1)
+        arr = np.asarray(
+            Image.fromarray(arr).resize((nw, nh), Image.BILINEAR), np.uint8
+        )
+        fscale = np.float32([nw / w, nh / h])
+        h, w = nh, nw
+    canvas[:h, :w] = arr
+    return canvas, offset, fscale
 
 
 class DataLoader:
@@ -80,6 +112,10 @@ class DataLoader:
             w, h = cfg.DATASET.image_size
             canvas_hw = (int(h) * 2, int(w) * 2)
         self.canvas_hw = tuple(canvas_hw)
+        # ROI decode window must cover the crop box under the largest scale
+        # jitter; rotation is covered by _load_image's half-diagonal bound
+        sf = float(cfg.PIPELINE.get("scale_factor", 0)) if self.is_train else 0.0
+        self.roi_margin = (1.0 + sf) * 1.05
         self.num_workers = num_workers
         self.pipeline = None
         if use_device_pipeline:
@@ -97,27 +133,48 @@ class DataLoader:
 
     def _raw_batch(self, idxs, pool):
         records = [self.dataset.db[i] for i in idxs]
-        K = self.dataset.ann_info["num_joints"]
-        images = list(
+        loaded = list(
             pool.map(
-                lambda r: _load_image(r["image_file"], self.canvas_hw), records
+                lambda r: _load_image(
+                    r["image_file"], self.canvas_hw,
+                    center=r["center"], scale=r["scale"],
+                    margin=self.roi_margin,
+                ),
+                records,
             )
         )
+        images = [im for im, _, _ in loaded]
+        offset = np.stack([o for _, o, _ in loaded])        # [B, 2]
+        fscale = np.stack([f for _, _, f in loaded])        # [B, 2]
+        joints = np.stack(
+            [r["joints_3d"][:, :2].astype(np.float32) for r in records]
+        )
+        center = np.stack([np.asarray(r["center"], np.float32) for r in records])
+        scale = np.stack([np.asarray(r["scale"], np.float32) for r in records])
+        bbox = np.stack([
+            np.asarray(r.get("bbox", [0, 0, 0, 0]), np.float32)[:4]
+            for r in records
+        ])
         batch = {
             "img_raw": np.stack(images),
-            "joints": np.stack(
-                [r["joints_3d"][:, :2].astype(np.float32) for r in records]
+            # original-image coords (eval/decode space)
+            "joints": joints,
+            "center": center,
+            "scale": scale,
+            "bbox": bbox,
+            # canvas coords (what the pixels in img_raw actually are)
+            "joints_canvas": (joints - offset[:, None]) * fscale[:, None],
+            "center_canvas": (center - offset) * fscale,
+            "scale_canvas": scale * fscale,
+            "bbox_canvas": np.concatenate(
+                [(bbox[:, :2] - offset) * fscale, bbox[:, 2:] * fscale], axis=1
             ),
+            "offset": offset,
+            "img_scale": fscale,
             "vis": np.stack(
                 [r["joints_3d_visible"][:, 0].astype(np.float32) for r in records]
             ),
-            "center": np.stack([np.asarray(r["center"], np.float32) for r in records]),
-            "scale": np.stack([np.asarray(r["scale"], np.float32) for r in records]),
             "rotation": np.zeros(len(records), np.float32),
-            "bbox": np.stack([
-                np.asarray(r.get("bbox", [0, 0, 0, 0]), np.float32)[:4]
-                for r in records
-            ]),
             "image_file": [r["image_file"] for r in records],
             "bbox_id": np.asarray([r.get("bbox_id", i) for i, r in enumerate(records)]),
             "bbox_score": np.asarray(
@@ -147,10 +204,16 @@ class DataLoader:
                     continue
                 key, sub = jax.random.split(key)
                 out = self.pipeline(
-                    raw["img_raw"], raw["joints"], raw["vis"], raw["center"],
-                    raw["scale"], raw["rotation"], sub, bboxes=raw["bbox"],
+                    raw["img_raw"], raw["joints_canvas"], raw["vis"],
+                    raw["center_canvas"], raw["scale_canvas"],
+                    raw["rotation"], sub, bboxes=raw["bbox_canvas"],
                 )
                 batch = dict(out)
+                # center/scale back to ORIGINAL image coords so decode /
+                # transform_preds land in annotation space (the crop content
+                # is the same ROI either way)
+                batch["center"] = out["center"] / raw["img_scale"] + raw["offset"]
+                batch["scale"] = out["scale"] / raw["img_scale"]
                 batch["img_raw"] = raw["img_raw"]
                 batch["joints_src"] = raw["joints"]
                 batch["vis_src"] = raw["vis"]

@@ -18,6 +18,7 @@ from litehandnet_tpu.ops.affine import (
     affine_transform_points,
     get_affine_transform,
     get_warp_matrix,
+    invert_affine,
 )
 from litehandnet_tpu.ops.encode import msra_heatmaps, simdr_targets, udp_heatmaps
 
@@ -133,12 +134,12 @@ class TopDownAffine:
         scale = np.asarray(results["scale"], np.float32)
         rot = float(results.get("rotation", 0))
         if self.use_udp:
+            # one matrix for joints and pixels (reference
+            # topdown_affine.py:76; cv2.warpAffine inverts internally)
             fwd = np.asarray(get_warp_matrix(
-                rot, scale * 200.0, (W - 1.0, H - 1.0), scale * 200.0
+                rot, center * 2.0, (W - 1.0, H - 1.0), scale * 200.0
             ))
-            inv = np.asarray(
-                get_affine_transform(center, scale, rot, (W, H), inv=True)
-            )
+            inv = np.asarray(invert_affine(fwd))
         else:
             fwd = np.asarray(get_affine_transform(center, scale, rot, (W, H)))
             inv = np.asarray(

@@ -313,6 +313,12 @@ class TopdownHeatmapLoss(nn.Module):
             )(output, batch["simdr_x"], batch["simdr_y"], batch["target_weight"])
 
         names = list(loss_dict)
+        # loss_weight[i] applies in BOTH branches (the reference always
+        # multiplies by loss_weight, loss/loss.py; its AutomaticWeightedLoss
+        # params were declared but never trained — here the homoscedastic
+        # weighting wraps the statically-weighted terms)
+        for i, k in enumerate(names):
+            loss_dict[k] = self.loss_weight[i] * loss_dict[k]
         if self.auto_weight:
             p = self.param(
                 "mtl_p", nn.initializers.ones, (len(self.loss_weight),)
@@ -324,8 +330,7 @@ class TopdownHeatmapLoss(nn.Module):
                 )
         else:
             total = 0.0
-            for i, k in enumerate(names):
-                loss_dict[k] = self.loss_weight[i] * loss_dict[k]
+            for k in names:
                 total = total + loss_dict[k]
         return total, loss_dict
 

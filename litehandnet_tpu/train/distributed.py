@@ -177,13 +177,31 @@ def make_eval_step(model, criterion, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.jit(sharded)
 
 
-def initialize_multihost(coordinator: Optional[str] = None):
+_multihost_initialized = False
+
+
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
     """Multi-host bring-up (`jax.distributed.initialize`), the DCN analogue of
     the reference's tcp:// / env:// / SLURM rendezvous
-    (train/distributed_utils.py:7-29). No-op when single-process."""
-    if jax.process_count() > 1 or coordinator is None:
+    (train/distributed_utils.py:7-29). No-op when no coordinator is given.
+
+    MUST run before any other jax API touches the backend, so the guard is a
+    module flag — calling jax.process_count() here would initialize the local
+    backend and poison the subsequent jax.distributed.initialize.
+    """
+    global _multihost_initialized
+    if coordinator is None or _multihost_initialized:
         return
-    jax.distributed.initialize(coordinator)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _multihost_initialized = True
 
 
 def is_chief() -> bool:

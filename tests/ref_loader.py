@@ -48,6 +48,19 @@ def load_generate_simdr():
     return _load("datasets/data_pipeline/generate_simder.py", "_ref_generate_simdr")
 
 
+def load_topdown_affine():
+    """reference datasets/data_pipeline/topdown_affine.py (TopDownAffine /
+    TopDownGetRandomScaleRotation; numpy+cv2+torch-import-only)."""
+    for name in ("datasets", "datasets.data_pipeline"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    load_post_transforms()
+    return _load(
+        "datasets/data_pipeline/topdown_affine.py",
+        "datasets.data_pipeline.topdown_affine",
+    )
+
+
 def load_top_down_eval():
     """reference top_down_eval.py; needs the post_transforms module registered
     under its package name first."""

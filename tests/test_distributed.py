@@ -1,5 +1,7 @@
 """DP train-step tests on a virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,3 +121,50 @@ def test_eval_step(rng):
     out, metrics = estep(state, batch)
     assert out.shape == (8, 16, 16, 21)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_initialize_multihost_runs_before_backend_init():
+    """initialize_multihost must call jax.distributed.initialize BEFORE any
+    backend-touching jax API (the round-1 version queried jax.process_count()
+    first, which initializes the local backend and poisons the rendezvous).
+    Run in a subprocess so jax starts cold."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+
+import jax
+import jax._src.xla_bridge as xb
+
+calls = {}
+
+def fake_initialize(coordinator_address=None, num_processes=None,
+                    process_id=None, **kw):
+    # the local backend must not be initialized yet
+    assert not xb._backends, "backend initialized before distributed.initialize"
+    calls["coordinator"] = coordinator_address
+    calls["num_processes"] = num_processes
+    calls["process_id"] = process_id
+
+jax.distributed.initialize = fake_initialize
+
+from litehandnet_tpu.train.distributed import initialize_multihost
+
+initialize_multihost(None)                       # no-op without coordinator
+assert not calls
+initialize_multihost("10.0.0.1:1234", num_processes=4, process_id=1)
+assert calls == {"coordinator": "10.0.0.1:1234", "num_processes": 4,
+                 "process_id": 1}, calls
+calls.clear()
+initialize_multihost("10.0.0.1:1234")            # idempotent: second call no-op
+assert not calls
+print("OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "OK" in proc.stdout
