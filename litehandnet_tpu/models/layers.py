@@ -51,6 +51,23 @@ def _pair(v) -> tuple:
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
 
+def repconv_act(act: Activation, inplace: bool) -> Activation:
+    """EFFECTIVE activation of a reference RepConv.
+
+    The reference instantiates ``activation(inplace)`` POSITIONALLY
+    (repblocks.py:29-30), so for the default LeakyReLU the bool lands in
+    ``negative_slope``: inplace=True -> slope 1.0 (identity), inplace=False ->
+    slope 0.0 (exact ReLU). ReLU/SiLU take ``inplace`` as their first arg, so
+    they behave normally. RepBlock passes inplace by keyword (repblocks.py:91)
+    and is unaffected. Replicated faithfully: trained reference checkpoints
+    (and forward parity) depend on the effective function, not the intended
+    one.
+    """
+    if act is leaky_relu:
+        return None if inplace else relu
+    return act
+
+
 class Conv(nn.Module):
     """Plain conv with torch-style integer padding (NHWC / HWIO)."""
 

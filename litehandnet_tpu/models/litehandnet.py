@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from litehandnet_tpu.models.layers import (
     Activation,
+    repconv_act,
     ChannelAttention,
     Conv,
     RepBlock,
@@ -49,11 +50,12 @@ class DWConv(nn.Module):
     def __call__(self, x, train: bool = False):
         C = x.shape[-1]
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
+        act = repconv_act(self.act, inplace=False)  # liteHandNet.py:14-17
         x = RepConv(
             C, 3, self.stride, self.padding, self.dilation, groups=C,
-            act=self.act, name="dw", **kw,
+            act=act, name="dw", **kw,
         )(x, train)
-        x = RepConv(self.features, 1, 1, 0, act=self.act, name="pw", **kw)(x, train)
+        x = RepConv(self.features, 1, 1, 0, act=act, name="pw", **kw)(x, train)
         return x
 
 
@@ -71,8 +73,9 @@ class BottleNeck(nn.Module):
     def __call__(self, x, train: bool = False):
         mid = self.features // self.reduction
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
-        out = RepConv(mid, 1, 1, 0, act=self.act, name="c1", **kw)(x, train)
-        out = RepConv(mid, 3, 1, 1, act=self.act, name="c2", **kw)(out, train)
+        act = repconv_act(self.act, inplace=True)  # liteHandNet.py:28-33
+        out = RepConv(mid, 1, 1, 0, act=act, name="c1", **kw)(x, train)
+        out = RepConv(mid, 3, 1, 1, act=act, name="c2", **kw)(out, train)
         out = RepConv(self.features, 1, 1, 0, act=None, name="c3", **kw)(out, train)
         return self.act(x + out)
 
@@ -91,7 +94,9 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
         out = RepConv(
-            self.features, 3, self.stride, 1, act=self.act, name="c1", **kw
+            self.features, 3, self.stride, 1,
+            act=repconv_act(self.act, inplace=True),  # liteHandNet.py:42-47
+            name="c1", **kw,
         )(x, train)
         out = RepConv(self.features, 3, 1, 1, act=None, name="c2", **kw)(out, train)
         if self.stride == 2 or x.shape[-1] != self.features:
@@ -148,7 +153,8 @@ class MSAB(nn.Module):
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
         dkw = dict(act=self.act, **kw)
 
-        m = RepConv(mid_c, 1, 1, 0, act=self.act, name="conv1", **kw)(x, train)
+        msab_act = repconv_act(self.act, inplace=True)  # liteHandNet.py:124,145
+        m = RepConv(mid_c, 1, 1, 0, act=msab_act, name="conv1", **kw)(x, train)
         for i in range(2):
             # path 1: plain DWConv pair -> mid_c//2 (i=0) or mid_c (i=1)
             c_out = mid_c // 2 if i == 0 else mid_c
@@ -163,7 +169,7 @@ class MSAB(nn.Module):
 
         features = m + x
         out = RepConv(
-            self.features, 1, 1, 0, act=self.act, name="conv2", **kw
+            self.features, 1, 1, 0, act=msab_act, name="conv2", **kw
         )(features, train)
         if self.ca_type == "se":
             out = SEBlock(max(self.features // 16, 1), dtype=self.dtype, name="ca")(
@@ -195,8 +201,9 @@ class Stem(nn.Module):
         x = RepBlock(
             mid, 7, 1, 3, groups=mid, act=self.act, name="c2", **kw
         )(x, train)
-        b1 = RepConv(mid, 1, 1, 0, act=self.act, name="b1a", **kw)(x, train)
-        b1 = RepConv(mid, 3, 2, 1, act=self.act, name="b1b", **kw)(b1, train)
+        b_act = repconv_act(self.act, inplace=True)  # liteHandNet.py:181-184
+        b1 = RepConv(mid, 1, 1, 0, act=b_act, name="b1a", **kw)(x, train)
+        b1 = RepConv(mid, 3, 2, 1, act=b_act, name="b1b", **kw)(b1, train)
         b2 = max_pool2(x)
         out = jnp.concatenate([b1, b2], axis=-1)
         return Conv(self.features, 1, use_bias=True, dtype=self.dtype, name="proj")(out)
@@ -306,7 +313,8 @@ class LiteHandNet(nn.Module):
             self.reduction, name="hgs", **kw,
         )(x, train)
         f = BottleNeck(self.features, 2, name="feat_b", **kw)(hg[-1], train)
-        f = RepConv(self.features, 1, 1, 0, name="feat_c", **kw)(f, train)
+        fkw = dict(kw, act=repconv_act(act, inplace=True))  # liteHandNet.py:224
+        f = RepConv(self.features, 1, 1, 0, name="feat_c", **fkw)(f, train)
         out = Conv(
             self.num_joints, 1, use_bias=True, dtype=self.dtype, name="head"
         )(f)

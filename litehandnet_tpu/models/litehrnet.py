@@ -32,8 +32,11 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     scale = jnp.array(
         [(h - 1) / max(H - 1, 1), (w - 1) / max(W - 1, 1)], jnp.float32
     )
+    # align_corners=True maps out i -> in i/scale; scale_and_translate's
+    # half-pixel convention needs translate 0.5*(1 - scale) to cancel
+    # (verified against F.interpolate to 7e-7)
     return jax.image.scale_and_translate(
-        x, (B, h, w, C), (1, 2), scale, jnp.zeros(2, jnp.float32),
+        x, (B, h, w, C), (1, 2), scale, 0.5 * (1.0 - scale),
         method="bilinear",
     )
 
@@ -209,18 +212,18 @@ class StageModule(nn.Module):
                 )(s, train)
             return s
 
-        out = []
-        for i in range(n):
-            y = 0.0
-            for j in range(n):
-                contrib = xs[j] if i == j else fuse(j, i, xs[j])
-                # reference quirk: branch 0's fused contribution enters twice
-                # (the loop also re-adds the init value, lite_hrnet.py:196-201)
-                if j == 0:
-                    contrib = (
-                        contrib + xs[0] if i == 0 else 2.0 * contrib
-                    )
-                y = y + contrib
+        # reference quirk (lite_hrnet.py:194-202): `y = out[0]; y += ...`
+        # MUTATES branch 0 in place, so (a) every row adds its branch-0 term
+        # twice, and (b) rows i>=1 fuse the ACCUMULATED pre-relu branch-0 sum
+        # s0, not the original branch-0 activation.
+        s0 = 2.0 * xs[0]
+        for j in range(1, n):
+            s0 = s0 + fuse(j, 0, xs[j])
+        out = [jax.nn.relu(s0)]
+        for i in range(1, n):
+            y = 2.0 * fuse(0, i, s0)
+            for j in range(1, n):
+                y = y + (xs[j] if i == j else fuse(j, i, xs[j]))
             out.append(jax.nn.relu(y))
         return out
 

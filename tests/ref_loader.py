@@ -72,3 +72,70 @@ def load_top_down_eval():
         "utils/post_processing/evaluation/top_down_eval.py",
         "_ref_top_down_eval",
     )
+
+
+class _AddictStub(dict):
+    """Minimal stand-in for addict.Dict (not installed in this image):
+    attribute access + recursive wrapping + empty-Dict on missing key."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        for src in args + (kwargs,):
+            if src:
+                for k, v in dict(src).items():
+                    self[k] = self._wrap(v)
+
+    @classmethod
+    def _wrap(cls, v):
+        if isinstance(v, dict) and not isinstance(v, _AddictStub):
+            return cls(v)
+        if isinstance(v, (list, tuple)):
+            return type(v)(cls._wrap(x) for x in v)
+        return v
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, self._wrap(v))
+
+    def __getattr__(self, k):
+        if k.startswith("__"):
+            raise AttributeError(k)
+        if k in self:
+            return self[k]
+        return _AddictStub()
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __bool__(self):
+        return len(self) > 0
+
+
+def ensure_reference_importable():
+    """Make `import models` / `from config import get_config` resolve to the
+    reference checkout (with the missing `addict` dep stubbed)."""
+    if "addict" not in sys.modules:
+        m = types.ModuleType("addict")
+        m.Dict = _AddictStub
+        sys.modules["addict"] = m
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+
+def load_ref_config(relpath: str):
+    """Load a reference experiment config via the reference's own loader."""
+    ensure_reference_importable()
+    import importlib
+
+    ref_config = importlib.import_module("config")
+    return ref_config.get_config(relpath)
+
+
+def build_ref_model(cfg):
+    """Build the reference torch model for a reference cfg (eval mode)."""
+    ensure_reference_importable()
+    import importlib
+
+    models = importlib.import_module("models")
+    model = models.get_model(cfg)
+    model.eval()
+    return model
