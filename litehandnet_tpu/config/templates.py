@@ -107,6 +107,12 @@ def make_cfg(model: str, dataset: str, exp_id: int = 1, image_size=256,
         sigma = [2, 2, 2, 2]
         loss = dict(type="SRHandNetLoss",
                     loss_weight=[0.1, 0.2, 0.3, 0.4], auto_weight=False)
+    elif model == "mynet_stacked":
+        # Gen-1 center+SimDR workflow: per-stack region loss + SimDR heads
+        heatmap_size = [size[0] // 4, size[1] // 4]
+        sigma = 2
+        loss = dict(type="CenterSimdrLoss", loss_weight=[1.0],
+                    auto_weight=False, simdr_weight=1.0)
     else:
         heatmap_size = [size[0] // 4, size[1] // 4]
         sigma = 2

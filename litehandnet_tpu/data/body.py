@@ -159,89 +159,26 @@ class TopDownCocoDataset(Kpt2dDataset):
                 img_kpts = [img_kpts[i] for i in keep]
             valid_kpts.extend(img_kpts)
 
-        stats = OrderedDict()
-        stats["AP"] = self._oks_map(valid_kpts)
-        stats["AP .5"] = self._oks_map(valid_kpts, thresholds=[0.5])
-        stats["AP .75"] = self._oks_map(valid_kpts, thresholds=[0.75])
-        # COCO area ranges (the vendored COCOeval variants,
-        # myeval_hand.py:14-501, report per-area APs)
-        stats["AP (M)"] = self._oks_map(
-            valid_kpts, area_range=(32**2, 96**2)
-        )
-        stats["AP (L)"] = self._oks_map(
-            valid_kpts, area_range=(96**2, 1e10)
-        )
+        # exact COCO protocol (101-pt interpolation, maxDets, area ranges) —
+        # parity-tested against the reference's vendored COCOeval
+        # (tests/test_coco_eval.py)
+        from litehandnet_tpu.eval.cocoeval import STAT_NAMES, KeypointCOCOeval
+
+        detections = [
+            dict(
+                image_id=k["image_id"],
+                keypoints=[float(v) for v in np.asarray(
+                    k["keypoints"]).flatten()],
+                score=float(k["score"]),
+            )
+            for k in valid_kpts
+        ]
+        coco_stats = KeypointCOCOeval(
+            self.coco, detections, sigmas=self.sigmas
+        ).run()
+        stats = OrderedDict(zip(STAT_NAMES, map(float, coco_stats)))
         stats["mAP"] = stats["AP"]
         return stats
-
-    def _oks_map(self, detections, thresholds=None, area_range=None):
-        """Self-contained OKS mean-AP over thresholds .5:.05:.95 (compact
-        replacement for the vendored COCOeval, reference
-        utils/post_processing/evaluation/myeval_hand.py)."""
-        gts = defaultdict(list)
-        n_gt = 0
-        for item in self.db:
-            vis = item["joints_3d_visible"][:, 0]
-            if vis.sum() == 0:
-                continue
-            if area_range is not None:
-                a = float(item["bbox"][2] * item["bbox"][3])
-                if not (area_range[0] <= a < area_range[1]):
-                    continue
-            g = np.concatenate(
-                [item["joints_3d"][:, :2], vis[:, None]], axis=1
-            ).flatten()
-            image_id = self.name2id[
-                item["image_file"][len(self.img_prefix):]
-            ]
-            area = float(np.prod(item["scale"] * 200.0))
-            gts[image_id].append({"kpts": g, "area": area})
-            n_gt += 1
-        if n_gt == 0 or not detections:
-            return 0.0
-
-        detections = sorted(detections, key=lambda d: -d["score"])
-        thrs = (
-            np.asarray(thresholds) if thresholds is not None
-            else np.arange(0.5, 1.0, 0.05)
-        )
-        aps = []
-        for thr in thrs:
-            matched = {k: np.zeros(len(v), bool) for k, v in gts.items()}
-            tp = np.zeros(len(detections))
-            fp = np.zeros(len(detections))
-            for di, det in enumerate(detections):
-                img_gts = gts.get(det["image_id"], [])
-                if not img_gts:
-                    fp[di] = 1
-                    continue
-                d = np.asarray(det["keypoints"]).flatten()[None]
-                best_iou, best_j = 0.0, -1
-                for j, g in enumerate(img_gts):
-                    iou = oks_iou(
-                        g["kpts"], d, g["area"],
-                        np.array([det["area"]]), self.sigmas, self.vis_thr,
-                    )[0]
-                    if iou > best_iou:
-                        best_iou, best_j = iou, j
-                if best_iou >= thr and not matched[det["image_id"]][best_j]:
-                    tp[di] = 1
-                    matched[det["image_id"]][best_j] = True
-                else:
-                    fp[di] = 1
-            tp_cum = np.cumsum(tp)
-            fp_cum = np.cumsum(fp)
-            recall = tp_cum / n_gt
-            precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-            # VOC2010-style envelope AP
-            mrec = np.concatenate([[0.0], recall, [recall[-1]]])
-            mpre = np.concatenate([[1.0], precision, [0.0]])
-            for i in range(len(mpre) - 2, -1, -1):
-                mpre[i] = max(mpre[i], mpre[i + 1])
-            idx = np.where(mrec[1:] != mrec[:-1])[0]
-            aps.append(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
-        return float(np.mean(aps))
-
 
 def _mpii_pckh(preds_2d, gt_file):
     """DHRNet-style PCKh against the MPII validation mat file

@@ -139,11 +139,18 @@ class AugmentedConv(nn.Module):
             logits = logits + rel_h.reshape(B, Nh, H * W, H * W)
 
         weights = jax.nn.softmax(logits, axis=-1)
-        flat_v = v.reshape(B, Nh, H * W, dv // Nh)
-        attn = jnp.einsum("bnqk,bnkd->bnqd", weights, flat_v)
-        attn = jnp.transpose(
-            attn.reshape(B, Nh, H, W, dv // Nh), (0, 2, 3, 1, 4)
-        ).reshape(B, H, W, dv)
+        # flat_v must match torch's channels-first flattening: v is
+        # (B, Nh, dvh, H, W) flattened over (H, W), i.e. [B, Nh, dvh, HW]
+        flat_v = jnp.transpose(v, (0, 1, 4, 2, 3)).reshape(
+            B, Nh, dv // Nh, H * W
+        )
+        attn = jnp.einsum("bnqk,bndk->bnqd", weights, flat_v)
+        # reference QUIRK (attention_augmentation2D.py:70): the [B, Nh, HW,
+        # dvh] result is reshaped STRAIGHT to (B, Nh, dvh, H, W) — a raw
+        # row-major memory reinterpretation, not a transpose. Replicated
+        # bit-for-bit; trained reference checkpoints bake it in.
+        attn = attn.reshape(B, Nh * (dv // Nh), H, W).reshape(B, dv, H, W)
+        attn = jnp.transpose(attn, (0, 2, 3, 1))
         attn = Conv(dv, 1, dtype=self.dtype, name="attn_out")(attn)
         return jnp.concatenate([conv_out, attn], axis=-1)
 

@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from litehandnet_tpu.models.layers import (
     Activation,
+    relu,
     ChannelAttention,
     Conv,
     RepConv,
@@ -70,7 +71,7 @@ class MSRB(nn.Module):
             if ca is not None:
                 merged = ca(merged, train)
             out = out + merged
-        return RepConv(self.features, 1, 1, 0, name="proj", **kw)(out + x, train)
+        return RepConv(self.features, 1, 1, 0, act=relu, name="proj", **kw)(out + x, train)  # default act -> effective ReLU (repblocks.py:30)
 
 
 class RepBasicUnit(nn.Module):
@@ -91,9 +92,9 @@ class RepBasicUnit(nn.Module):
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
         left = x[..., :left_part]
         right = x[..., left_part:]
-        right = RepConv(right_out, 1, name="c1", **kw)(right, train)
+        right = RepConv(right_out, 1, act=relu, name="c1", **kw)(right, train)  # effective ReLU
         right = RepConv(
-            right_out, 3, 1, 1, groups=right_out, name="c2", **kw
+            right_out, 3, 1, 1, groups=right_out, act=relu, name="c2", **kw
         )(right, train)
         out = jnp.concatenate([left, right], axis=-1)
         ca = _ca(self.ca_type, self.features, self.deploy, self.axis_name,
@@ -138,9 +139,9 @@ class DWConvELAN(nn.Module):
 
         def chain(z, name):
             z = RepConv(mid, 3, 1, 1, groups=mid, act=None, name=f"{name}a", **kw)(z, train)
-            z = RepConv(mid, 1, name=f"{name}b", **kw)(z, train)
+            z = RepConv(mid, 1, act=relu, name=f"{name}b", **kw)(z, train)
             z = RepConv(mid, 3, 1, 1, groups=mid, act=None, name=f"{name}c", **kw)(z, train)
-            z = RepConv(mid, 1, name=f"{name}d", **kw)(z, train)
+            z = RepConv(mid, 1, act=relu, name=f"{name}d", **kw)(z, train)
             return z
 
         out1 = chain(x[..., :mid], "c1")
@@ -184,17 +185,17 @@ class LiteHandNetMSRB(nn.Module):
         mid = max(C // 4, 32)
 
         # stem (reference: litehourglass.py:166-190)
-        x = RepConv(mid, 3, 2, 1, name="stem_c1", **kw)(x, train)
-        x = RepConv(mid, 3, 1, 1, groups=mid, name="stem_c2", **kw)(x, train)
-        b1 = RepConv(mid, 1, name="stem_b1a", **kw)(x, train)
+        x = RepConv(mid, 3, 2, 1, act=relu, name="stem_c1", **kw)(x, train)  # effective ReLU
+        x = RepConv(mid, 3, 1, 1, groups=mid, act=relu, name="stem_c2", **kw)(x, train)
+        b1 = RepConv(mid, 1, act=relu, name="stem_b1a", **kw)(x, train)
         b1 = RepConv(mid, 3, 2, 1, groups=mid, act=None, name="stem_b1b", **kw)(b1, train)
-        b1 = RepConv(mid, 1, name="stem_b1c", **kw)(b1, train)
+        b1 = RepConv(mid, 1, act=relu, name="stem_b1c", **kw)(b1, train)
         b2 = max_pool2(x)
-        x = RepConv(C, 1, name="stem_proj", **kw)(
+        x = RepConv(C, 1, act=relu, name="stem_proj", **kw)(
             jnp.concatenate([b1, b2], axis=-1), train
         )
-        x = RepBasicUnit(C, self.rbu_ca, name="stem_u1", **kw)(x, train)
-        x = RepBasicUnit(C, self.rbu_ca, name="stem_u2", **kw)(x, train)
+        x = RepBasicUnit(C, "ca", name="stem_u1", **kw)(x, train)  # stem RBUs hardcode ca (litehourglass.py:182-186)
+        x = RepBasicUnit(C, "ca", name="stem_u2", **kw)(x, train)
 
         # maxpool encoder / interpolate decoder (reference :108-163)
         def stage(z, i, prefix):

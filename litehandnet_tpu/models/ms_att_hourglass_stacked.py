@@ -70,9 +70,13 @@ class MSAttBlock(nn.Module):
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
 
         def brc(z, feats, name):
+            # BRC conv is biasless (pose_hg_ms_att.py:52-66, bias=False)
             z = BatchNorm(name=f"{name}_bn", **kw)(z, train)
             z = jax.nn.relu(z)
-            return Conv(feats, 1, dtype=self.dtype, name=f"{name}_conv")(z)
+            return Conv(
+                feats, 1, use_bias=False, dtype=self.dtype,
+                name=f"{name}_conv",
+            )(z)
 
         m = brc(x, mid_c, "conv1")
         for i in range(2):

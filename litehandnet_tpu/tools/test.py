@@ -80,21 +80,39 @@ def main(argv=None):
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
+    simdr_k = int(cfg.PIPELINE.get("simdr_split_ratio", 0) or 0)
     results = []
+    simdr_results = []
     for batch in loader.batches(0):
         img = jnp.asarray(batch["img"], jnp.bfloat16 if args.bf16 else None)
         outputs = fwd(variables, img)
-        if isinstance(outputs, (tuple, list)):
-            outputs = outputs[-1]  # srhandnet: finest scale (test.py:117)
-        if outputs.ndim == 5:
-            outputs = outputs[:, -1]  # stacked hourglass: last stack
-        # drop region-map channels (center + w/h) when present
-        outputs = outputs[..., : cfg.DATASET.num_joints]
         meta_batch = {
             k: batch[k]
             for k in ("center", "scale", "image_file", "bbox_id", "bbox_score")
         }
+        pred_x = pred_y = None
+        if isinstance(outputs, (tuple, list)):
+            if (
+                len(outputs) == 3
+                and getattr(outputs[-1], "ndim", 0) == 3
+            ):
+                # stacked mynet with SimDR heads: (hm_preds, pred_x, pred_y)
+                outputs, pred_x, pred_y = outputs
+            if isinstance(outputs, (tuple, list)):
+                outputs = outputs[-1]  # srhandnet finest scale / last stack
+        if outputs.ndim == 5:
+            outputs = outputs[:, -1]  # stacked hourglass: last stack
+        # drop region-map channels (center + w/h) when present
+        outputs = outputs[..., : cfg.DATASET.num_joints]
         results.append(decoder.decode(meta_batch, np.asarray(outputs, np.float32)))
+        if simdr_k > 0 and pred_x is not None:
+            # fuse the SimDR decode alongside the heatmap decode (reference
+            # test.py:117-147; the reference's decode_simdr read the GT
+            # simdr targets from meta — here the MODEL's pred_x/y are used)
+            simdr_results.append(decoder.decode_simdr(
+                meta_batch, np.asarray(pred_x, np.float32),
+                np.asarray(pred_y, np.float32),
+            ))
 
     metric = cfg.EVAL.get("metric", ["PCK", "AUC", "EPE"])
     name_value = loader.dataset.evaluate(results, metric=metric)
@@ -104,6 +122,17 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "best_pth_metric.json"), "w") as f:
         json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
+
+    if simdr_results:
+        simdr_metrics = loader.dataset.evaluate(simdr_results, metric=["AUC"])
+        print("SimDR:", json.dumps(
+            {k: float(v) for k, v in simdr_metrics.items()}, indent=2))
+        with open(os.path.join(out_dir, "simdr_metric.json"), "w") as f:
+            json.dump(
+                {k: float(v) for k, v in simdr_metrics.items()}, f, indent=2)
+        name_value = dict(name_value, **{
+            f"simdr_{k}": v for k, v in simdr_metrics.items()
+        })
 
     if args.vis_dir:
         from litehandnet_tpu.utils.vis import SaveResultImages

@@ -515,3 +515,321 @@ def _hourglass_rules() -> List[Rule]:
 
 
 RULES["hourglass"] = _hourglass_rules()
+
+
+def _mynet_rules() -> List[Rule]:
+    """Gen-1 MultiScaleAttentionHourglass (reference models/pose_hg_ms_att.py):
+    pelee stem, BRC(BN-SiLU-conv) ME_att blocks with AdaptiveAvgPool
+    attention, plain-conv Residual/BottleNeck towers, features tail."""
+    R: List[Rule] = [
+        # my_pelee_stem (pose_hg_ms_att.py:190-221)
+        (r"pre\.conv1\.0", "conv", r"pre/c1/conv"),
+        (r"pre\.conv1\.1", "bn", r"pre/bn1/bn"),
+        (r"pre\.conv1\.3", "conv", r"pre/c2/conv"),
+        (r"pre\.conv1\.4", "bn", r"pre/bn2/bn"),
+        (r"pre\.branch1\.0", "conv", r"pre/b1a/conv"),
+        (r"pre\.branch1\.1", "bn", r"pre/b1a_bn/bn"),
+        (r"pre\.branch1\.3", "conv", r"pre/b1b/conv"),
+        (r"pre\.branch1\.4", "bn", r"pre/b1b_bn/bn"),
+        (r"pre\.conv1x1", "conv", r"pre/proj/conv"),
+    ]
+    for t, f in (("encoder", "enc"), ("decoder", "dec")):
+        P = rf"hgs\.{t}\.(\d+)"
+        F = rf"hgs/{f}\1"
+        # ME_att (pose_hg_ms_att.py:135-186): BRC conv1/conv2 + DW ladders
+        R += [
+            (P + r"\.conv(\d)\.conv", "conv", F + r"/conv\2/conv/conv"),
+            (P + r"\.conv(\d)\.bn", "bn", F + r"/conv\2/norm/bn"),
+            (P + r"\.att\.1", "bn", F + r"/att_bn/bn"),
+            (P + r"\.att\.3", "conv", F + r"/att_conv/conv"),
+            (P + r"\.att\.6", "linear", F + r"/att_fc"),
+        ]
+        for mid, pn in (("mid1_conv", "p1"), ("mid2_conv", "p2")):
+            for j, ab in (("0", "a"), ("1", "b")):
+                for dw, fl in (("depthwise_conv", "dw"), ("pointwise_conv", "pw")):
+                    R += [
+                        (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.0", "conv",
+                         F + rf"/{pn}_\2_{ab}/{fl}/conv"),
+                        (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.1", "bn",
+                         F + rf"/{pn}_\2_{ab}/{fl}_bn/bn"),
+                    ]
+        # Residual: BasicBlock c1 + BottleNeck b{j} (pose_hg_ms_att.py:25-77)
+        R += [
+            (P + r"\.conv1\.conv\.0", "conv", F + r"/c1/c1/conv"),
+            (P + r"\.conv1\.conv\.1", "bn", F + r"/c1/bn1/bn"),
+            (P + r"\.conv1\.conv\.3", "conv", F + r"/c1/c2/conv"),
+            (P + r"\.conv1\.conv\.4", "bn", F + r"/c1/bn2/bn"),
+            (P + r"\.conv1\.skip_layer\.0", "conv", F + r"/c1/skip/conv"),
+            (P + r"\.conv1\.skip_layer\.1", "bn", F + r"/c1/skip_bn/bn"),
+        ]
+        for k, fk in (("0", "c1"), ("1", "bn1"), ("3", "c2"), ("4", "bn2"),
+                      ("6", "c3"), ("7", "bn3")):
+            kind = "bn" if fk.startswith("bn") else "conv"
+            tail = f"/{fk}/bn" if kind == "bn" else f"/{fk}/conv"
+            R.append((P + rf"\.blocks\.(\d+)\.conv\.{k}", kind,
+                      F + rf"/b\2" + tail))
+    # features tail (pose_hg_ms_att.py:236-242)
+    for k, fk in (("0", "c1"), ("1", "bn1"), ("3", "c2"), ("4", "bn2"),
+                  ("6", "c3"), ("7", "bn3")):
+        kind = "bn" if fk.startswith("bn") else "conv"
+        tail = f"/{fk}/bn" if kind == "bn" else f"/{fk}/conv"
+        R.append((rf"features\.0\.conv\.{k}", kind, r"feat_b" + tail))
+    R += [
+        (r"features\.1", "conv", r"feat_c/conv"),
+        (r"features\.2", "bn", r"feat_bn/bn"),
+        (r"outs", "conv", r"outs/conv"),
+    ]
+    return R
+
+
+RULES["mynet"] = _mynet_rules()
+
+
+def _mynet_stacked_rules() -> List[Rule]:
+    """Gen-1 STACKED MultiScaleAttentionHourglass (reference
+    models/pose_estimation/pose_hg_ms_att.py:189-265 — note: unrunnable as
+    shipped, __init__ calls an undefined self.check_init): pelee stem,
+    nstack recursive Hourglasses with MSAB at the top level and pre-act
+    Residuals inside, merge heads, optional SimDR Linear heads."""
+    TREE = r"((?:low\d|up\d)(?:\.(?:low\d|up\d))*)"
+    # pre-act Residual Sequential indices (pose_hg_ms_att.py:27-50)
+    RES = (("0", "bn1", "bn"), ("2", "c1", "conv"), ("3", "bn2", "bn"),
+           ("5", "c2", "conv"), ("6", "bn3", "bn"), ("8", "c3", "conv"))
+
+    def tree(m, tail):
+        return f"hg{m.group(1)}/" + m.group(2).replace(".", "/") + "/" + tail
+
+    R: List[Rule] = [
+        (r"pre\.conv1\.0", "conv", r"pre_c1/conv"),
+        (r"pre\.conv1\.1", "bn", r"pre_bn1/bn"),
+        (r"pre\.conv1\.3", "conv", r"pre_c2/conv"),
+        (r"pre\.conv1\.4", "bn", r"pre_bn2/bn"),
+        (r"pre\.branch1\.0", "conv", r"pre_b1a/conv"),
+        (r"pre\.branch1\.1", "bn", r"pre_b1a_bn/bn"),
+        (r"pre\.branch1\.3", "conv", r"pre_b1b/conv"),
+        (r"pre\.branch1\.4", "bn", r"pre_b1b_bn/bn"),
+        (r"pre\.conv1x1\.0", "conv", r"pre_proj/conv"),
+        (r"pre\.conv1x1\.1", "bn", r"pre_proj_bn/bn"),
+    ]
+    P = rf"hgs\.(\d+)\.{TREE}"
+    # MSAB blocks (BRC conv1/conv2, DW ladders, pooled attention)
+    R += [
+        (P + r"\.conv(\d)\.conv", "conv", lambda m: tree(m, f"conv{m.group(3)}_conv/conv")),
+        (P + r"\.conv(\d)\.bn", "bn", lambda m: tree(m, f"conv{m.group(3)}_bn/bn")),
+        (P + r"\.att\.1", "bn", lambda m: tree(m, "att_bn/bn")),
+        (P + r"\.att\.3", "conv", lambda m: tree(m, "att_conv/conv")),
+        (P + r"\.att\.6", "linear", lambda m: tree(m, "att_fc")),
+    ]
+    for mid, pn in (("mid1_conv", "p1"), ("mid2_conv", "p2")):
+        for j, ab in (("0", "a"), ("1", "b")):
+            for dw, fl in (("depthwise_conv", "dw"), ("pointwise_conv", "pw")):
+                R += [
+                    (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.0", "conv",
+                     lambda m, pn=pn, ab=ab, fl=fl:
+                     tree(m, f"{pn}_{m.group(3)}_{ab}/{fl}/conv")),
+                    (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.1", "bn",
+                     lambda m, pn=pn, ab=ab, fl=fl:
+                     tree(m, f"{pn}_{m.group(3)}_{ab}/{fl}_bn/bn")),
+                ]
+    # pre-act Residuals inside the recursion + skip projections
+    for k, fk, kind in RES:
+        R.append((P + rf"\.conv\.{k}", kind,
+                  lambda m, fk=fk, kind=kind:
+                  tree(m, f"{fk}/bn" if kind == "bn" else f"{fk}/conv")))
+    R.append((P + r"\.skip_layer", "conv", lambda m: tree(m, "skip/conv")))
+    # features / outs / merges / simdr heads
+    for k, fk, kind in RES:
+        R.append((rf"features\.(\d+)\.0\.conv\.{k}", kind,
+                  rf"feat\1_res/{fk}/" + ("bn" if kind == "bn" else "conv")))
+    R += [
+        (r"features\.(\d+)\.0\.skip_layer", "conv", r"feat\1_res/skip/conv"),
+        (r"features\.(\d+)\.1", "bn", r"feat\1_bn/bn"),
+        (r"features\.(\d+)\.3", "conv", r"feat\1_conv/conv"),
+        (r"outs\.(\d+)", "conv", r"out\1/conv"),
+        (r"merge_features\.(\d+)", "conv", r"merge_feat\1/conv"),
+        (r"merge_preds\.(\d+)", "conv", r"merge_pred\1/conv"),
+        (r"pred_x", "linear", r"pred_x"),
+        (r"pred_y", "linear", r"pred_y"),
+    ]
+    return R
+
+
+RULES["mynet_stacked"] = _mynet_stacked_rules()
+
+
+def _aug_rules(tp: str, fp: str) -> List[Rule]:
+    """AugmentedConv (reference models/pose_estimation/AttentionHandNet):
+    qkv/attn_out/conv_out convs + learnable relative-position embeddings."""
+    return [
+        (tp + r"\.qkv_conv", "conv", fp + r"/qkv/conv"),
+        (tp + r"\.attn_out", "conv", fp + r"/attn_out/conv"),
+        (tp + r"\.conv_out", "conv", fp + r"/conv_out/conv"),
+        (tp + r"\.key_rel_w", "scalar", fp + r"/key_rel_w"),
+        (tp + r"\.key_rel_h", "scalar", fp + r"/key_rel_h"),
+    ]
+
+
+def _atthandnet_rules() -> List[Rule]:
+    """AttHandNet (reference models/pose_estimation/AttentionHandNet):
+    dense ARB blocks (pw/dw/proj ConvModules + attention-augmented conv),
+    BlurPool transitions (fixed blur filter buffer skipped), final aug block
+    + coord head."""
+    R: List[Rule] = [
+        (r"dense(\d)\.arb\.(\d+)\.conv1\.0", "conv", r"dense\1/arb\2/pw/conv"),
+        (r"dense(\d)\.arb\.(\d+)\.conv1\.1", "bn", r"dense\1/arb\2/pw_bn/bn"),
+        (r"dense(\d)\.arb\.(\d+)\.conv1\.3", "conv", r"dense\1/arb\2/dw/conv"),
+        (r"dense(\d)\.arb\.(\d+)\.conv1\.4", "bn", r"dense\1/arb\2/dw_bn/bn"),
+        (r"dense(\d)\.arb\.(\d+)\.conv2\.0", "conv", r"dense\1/arb\2/proj/conv"),
+        (r"dense(\d)\.arb\.(\d+)\.conv2\.1", "bn", r"dense\1/arb\2/proj_bn/bn"),
+        (r"dense(\d)\.arb\.(\d+)\.attention_aug\.1", "bn",
+         r"dense\1/arb\2/att/norm/bn"),
+    ]
+    R += _aug_rules(r"dense(\d)\.arb\.(\d+)\.attention_aug\.0",
+                    r"dense\1/arb\2/att/aug")
+    R += _aug_rules(r"aug_block\.0", r"aug_final/aug")
+    R += [
+        (r"aug_block\.1", "bn", r"aug_final/norm/bn"),
+        (r"transition(\d)\.conv", "conv", r"transition\1/conv/conv"),
+        (r"transition(\d)\.batch_normalization", "bn", r"transition\1/norm/bn"),
+        # BlurPool's fixed binomial filter is a buffer, computed on the fly
+        # in the flax model
+        (r"transition(\d)\.activation", "skip", r""),
+        (r"conv", "conv", r"head/conv"),
+    ]
+    return R
+
+
+RULES["atthandnet"] = _atthandnet_rules()
+
+
+def _hourglass_ablation_rules() -> List[Rule]:
+    """hourglass_ablation (reference models/hourglass_ablation.py): the Gen-1
+    single-stage hourglass with pluggable attention (ca/se/1x1/identity/cbam),
+    optional MSRB replacement, and optional residual channel attention."""
+    R: List[Rule] = [
+        (r"pre\.conv1\.0", "conv", r"pre/c1/conv"),
+        (r"pre\.conv1\.1", "bn", r"pre/bn1/bn"),
+        (r"pre\.conv1\.3", "conv", r"pre/c2/conv"),
+        (r"pre\.conv1\.4", "bn", r"pre/bn2/bn"),
+        (r"pre\.branch1\.0", "conv", r"pre/b1a/conv"),
+        (r"pre\.branch1\.1", "bn", r"pre/b1a_bn/bn"),
+        (r"pre\.branch1\.3", "conv", r"pre/b1b/conv"),
+        (r"pre\.branch1\.4", "bn", r"pre/b1b_bn/bn"),
+        (r"pre\.conv1x1", "conv", r"pre/proj/conv"),
+    ]
+    for t, f in (("encoder", "enc"), ("decoder", "dec")):
+        P = rf"hgs\.{t}\.(\d+)"
+        F = rf"{f}\1"
+        R += [
+            # ME_att BRC convs
+            (P + r"\.conv(\d)\.conv", "conv", F + r"/conv\2/conv/conv"),
+            (P + r"\.conv(\d)\.bn", "bn", F + r"/conv\2/norm/bn"),
+            # attention variants: ca/rca (att.1/.3/.6), se (att.2/.4),
+            # 1x1 (att), cbam handled via CBAM rules below
+            (P + r"\.att\.1", "bn", F + r"/att/bn/bn"),
+            (P + r"\.att\.3", "conv", F + r"/att/conv/conv"),
+            (P + r"\.att\.6", "linear", F + r"/att/fc"),
+            # CBAM (reference attention.py:269-294)
+            (P + r"\.att\.pre\.0", "conv", F + r"/att/c1/conv"),
+            (P + r"\.att\.pre\.1", "bn", F + r"/att/bn1/bn"),
+            (P + r"\.att\.pre\.3", "conv", F + r"/att/c2/conv"),
+            (P + r"\.att\.pre\.4", "bn", F + r"/att/bn2/bn"),
+            (P + r"\.att\.residual_conv", "conv", F + r"/att/res/conv"),
+            (P + r"\.att\.ca\.sharedMLP\.0", "conv", F + r"/att/ca/mlp1/conv"),
+            (P + r"\.att\.ca\.sharedMLP\.2", "conv", F + r"/att/ca/mlp2/conv"),
+            (P + r"\.att\.sa\.conv", "conv", F + r"/att/sa/conv/conv"),
+            (P + r"\.att\.2", "linear", F + r"/att_fc1"),
+            (P + r"\.att\.4", "linear", F + r"/att_fc2"),
+            (P + r"\.att", "conv", F + r"/att/conv"),
+        ]
+        for mid, pn in (("mid1_conv", "p1"), ("mid2_conv", "p2")):
+            for j, ab in (("0", "a"), ("1", "b")):
+                for dw, fl in (("depthwise_conv", "dw"),
+                               ("pointwise_conv", "pw")):
+                    R += [
+                        (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.0", "conv",
+                         F + rf"/{pn}_\2_{ab}/{fl}/conv"),
+                        (P + rf"\.{mid}\.(\d+)\.{j}\.{dw}\.1", "bn",
+                         F + rf"/{pn}_\2_{ab}/{fl}_bn/bn"),
+                    ]
+        R += [
+            (P + r"\.conv1\.conv\.0", "conv", F + r"/c1/c1/conv"),
+            (P + r"\.conv1\.conv\.1", "bn", F + r"/c1/bn1/bn"),
+            (P + r"\.conv1\.conv\.3", "conv", F + r"/c1/c2/conv"),
+            (P + r"\.conv1\.conv\.4", "bn", F + r"/c1/bn2/bn"),
+            (P + r"\.conv1\.skip_layer\.0", "conv", F + r"/c1/skip/conv"),
+            (P + r"\.conv1\.skip_layer\.1", "bn", F + r"/c1/skip_bn/bn"),
+        ]
+        for k, fk in (("0", "c1"), ("1", "bn1"), ("3", "c2"), ("4", "bn2"),
+                      ("6", "c3"), ("7", "bn3")):
+            kind = "bn" if fk.startswith("bn") else "conv"
+            tail = f"/{fk}/bn" if kind == "bn" else f"/{fk}/conv"
+            R.append((P + rf"\.blocks\.(\d+)\.conv\.{k}", kind,
+                      F + rf"/b\2" + tail))
+    for k, fk in (("0", "c1"), ("1", "bn1"), ("3", "c2"), ("4", "bn2"),
+                  ("6", "c3"), ("7", "bn3")):
+        kind = "bn" if fk.startswith("bn") else "conv"
+        tail = f"/{fk}/bn" if kind == "bn" else f"/{fk}/conv"
+        R.append((rf"features\.0\.conv\.{k}", kind, r"feat_b" + tail))
+    R += [
+        (r"features\.1", "conv", r"feat_c/conv"),
+        (r"features\.2", "bn", r"feat_bn/bn"),
+        (r"outs", "conv", r"outs/conv"),
+    ]
+    return R
+
+
+RULES["hourglass_ablation"] = _hourglass_ablation_rules()
+
+
+def _chatt(tp: str, fp: str) -> List[Rule]:
+    """ChannelAttension / SEBlock (liteHandNet/common.py:23-75)."""
+    return [
+        (tp + r"\.conv3x3\.conv", "conv", fp + r"/att/conv"),
+        (tp + r"\.conv3x3\.bn", "bn", fp + r"/att_bn/bn"),
+        (tp + r"\.conv1x1\.1", "conv", fp + r"/fc_down/conv"),
+        (tp + r"\.conv1x1\.3", "conv", fp + r"/fc_up/conv"),
+        (tp + r"\.down", "conv", fp + r"/down/conv"),
+        (tp + r"\.up", "conv", fp + r"/up/conv"),
+    ]
+
+
+def _litehandnet_msrb_rules() -> List[Rule]:
+    """LiteHandNet MSRB variant (reference
+    models/pose_estimation/liteHandNet/litehourglass.py:13-237): shuffle
+    stem, MSRB + RepBasicUnit maxpool hourglass, RBU neck."""
+
+    def rbu(tp, fp):
+        return (_repconv(tp + r"\.conv\.0", fp + r"/c1")
+                + _repconv(tp + r"\.conv\.1", fp + r"/c2")
+                + _chatt(tp + r"\.ca", fp + r"/ca"))
+
+    def msrb(tp, fp):
+        R = []
+        for j in ("0", "1"):
+            R += _repconv(tp + rf"\.branch1\.{j}", fp + rf"/b1_{j}")
+            R += _repconv(tp + rf"\.branch2\.{j}", fp + rf"/b2_{j}")
+            R += _chatt(tp + rf"\.ca\.{j}", fp + rf"/ca_{j}")
+        return R + _repconv(tp + r"\.conv", fp + r"/proj")
+
+    R: List[Rule] = []
+    R += _repconv(r"stem\.conv1\.0", r"stem_c1")
+    R += _repconv(r"stem\.conv1\.1", r"stem_c2")
+    R += _repconv(r"stem\.branch1\.0", r"stem_b1a")
+    R += _repconv(r"stem\.branch1\.1", r"stem_b1b")
+    R += _repconv(r"stem\.branch1\.2", r"stem_b1c")
+    R += _repconv(r"stem\.conv2\.0", r"stem_proj")
+    R += rbu(r"stem\.conv2\.1", r"stem_u1")
+    R += rbu(r"stem\.conv2\.2", r"stem_u2")
+    for t, f in (("encoder", "enc"), ("decoder", "dec")):
+        R += msrb(rf"backone\.{t}\.0\.0", rf"{f}0_msrb")
+        R += rbu(rf"backone\.{t}\.0\.1", rf"{f}0_rbu")
+        R += rbu(rf"backone\.{t}\.(\d+)\.0", rf"{f}\1_a")
+        R += rbu(rf"backone\.{t}\.(\d+)\.1", rf"{f}\1_b")
+    R += rbu(r"neck\.0", r"neck1")
+    R += rbu(r"neck\.1", r"neck2")
+    R.append((r"head", "conv", r"head/conv"))
+    return R
+
+
+RULES["litehandnet_msrb"] = _litehandnet_msrb_rules()

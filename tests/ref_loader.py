@@ -139,3 +139,34 @@ def build_ref_model(cfg):
     model = models.get_model(cfg)
     model.eval()
     return model
+
+
+def load_myeval_hand():
+    """reference utils/post_processing/evaluation/myeval_hand.py — the
+    vendored COCOeval. Its pycocotools.mask import is unused for the
+    keypoints iouType; stubbed since pycocotools is not installed."""
+    if "pycocotools" not in sys.modules:
+        pkg = types.ModuleType("pycocotools")
+        mask = types.ModuleType("pycocotools.mask")
+        pkg.mask = mask
+        sys.modules["pycocotools"] = pkg
+        sys.modules["pycocotools.mask"] = mask
+    import numpy as np
+
+    # the vendored evaluator predates numpy 2.0's alias removal
+    for alias, typ in (("float", float), ("int", int), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+    return _load(
+        "utils/post_processing/evaluation/myeval_hand.py", "_ref_myeval_hand"
+    )
+
+
+WHOLEBODY_DIR = "utils/post_processing/coco_wholebody_evaluation"
+
+
+def load_wholebody_evaluator(part: str):
+    """reference coco_wholebody_evaluation/myeval_<part>.py (stubs as in
+    load_myeval_hand)."""
+    load_myeval_hand()  # installs the pycocotools / numpy-alias stubs
+    return _load(f"{WHOLEBODY_DIR}/myeval_{part}.py", f"_ref_myeval_{part}")

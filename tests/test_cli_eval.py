@@ -1,0 +1,66 @@
+"""CLI drive of the evaluator (tools/test.py) on the stacked mynet config:
+the SimDR decode path must be fused alongside the heatmap decode (reference
+test.py:117-147)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_simdr_setup(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("simdr_ds")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(4):
+        arr = rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        images.append(dict(id=i, file_name=f"images/{name}", width=64,
+                           height=64))
+        kpts = []
+        for x, y in rng.uniform(10, 54, size=(21, 2)):
+            kpts += [float(x), float(y), 1]
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1, iscrowd=0, keypoints=kpts,
+            bbox=[6.0, 6.0, 52.0, 52.0], area=2704.0,
+        ))
+    ann_file = root / "ann.json"
+    ann_file.write_text(json.dumps(dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )))
+
+    ckpt_root = tmp_path_factory.mktemp("ckpts")
+    cfg_file = root / "exp_cfg.py"
+    cfg_file.write_text(f"""
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    cfg = make_cfg("mynet_stacked", "freihand", exp_id=999, image_size=64,
+                   main_channels=32, hg_depth=3)
+    for split in ("train", "val", "test"):
+        cfg["DATASET"][split] = dict(
+            ann_file={str(ann_file)!r}, img_prefix={str(root) + "/"!r})
+    cfg["CHECKPOINT"]["save_root"] = {str(ckpt_root)!r}
+    return cfg
+""")
+    return str(cfg_file)
+
+
+def test_eval_cli_decodes_simdr(tiny_simdr_setup):
+    from litehandnet_tpu.tools.test import main
+
+    name_value = main(["--cfg", tiny_simdr_setup, "--batch-size", "4"])
+    # heatmap metrics present
+    assert "PCK" in name_value and "AUC" in name_value
+    # SimDR branch decoded and evaluated (reference test.py:144-147)
+    assert "simdr_AUC" in name_value, sorted(name_value)
+    assert np.isfinite(float(name_value["simdr_AUC"]))

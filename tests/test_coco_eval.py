@@ -88,3 +88,126 @@ def test_coco_map_with_gt_predictions(tiny_coco):
         r["preds"] = r["preds"] + np.array([80.0, 80.0, 0.0])
     worse = ds.evaluate(results, metric="mAP")
     assert worse["AP"] < 0.5, worse
+
+
+@pytest.fixture(scope="module")
+def hand_gt_dt():
+    """Synthetic 21-kpt hand GT + noisy detections covering crowd gts,
+    zero-visibility gts, false positives, duplicates, and mixed areas."""
+    rng = np.random.RandomState(7)
+    images, annotations = [], []
+    detections = []
+    aid = 1
+    for i in range(10):
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=640, height=480))
+        for h in range(rng.randint(1, 4)):
+            side = rng.choice([40.0, 80.0, 150.0])   # mixes area ranges
+            x, y = rng.uniform(0, 400), rng.uniform(0, 300)
+            joints = np.stack([
+                rng.uniform(x, x + side, 21), rng.uniform(y, y + side, 21)
+            ], axis=1)
+            vis = np.full(21, 2.0)
+            if aid % 7 == 0:
+                vis[:] = 0.0                          # unlabeled gt
+            kpts = np.concatenate([joints, vis[:, None]], 1).flatten()
+            annotations.append(dict(
+                id=aid, image_id=i, category_id=1,
+                iscrowd=1 if aid % 11 == 0 else 0,
+                keypoints=[float(v) for v in kpts],
+                bbox=[float(x), float(y), float(side), float(side)],
+                area=float(side * side), num_keypoints=int((vis > 0).sum()),
+            ))
+            aid += 1
+            # 1-2 noisy detections per gt + occasional duplicate
+            for _ in range(rng.randint(1, 3)):
+                noise = rng.normal(0, side * 0.05, joints.shape)
+                dk = np.concatenate(
+                    [joints + noise, np.full((21, 1), 1.0)], 1
+                ).flatten()
+                detections.append(dict(
+                    image_id=i, category_id=1,
+                    keypoints=[float(v) for v in dk],
+                    score=float(rng.uniform(0.3, 1.0)),
+                ))
+        # false positive far away
+        if i % 3 == 0:
+            fp = np.stack([
+                rng.uniform(500, 630, 21), rng.uniform(380, 470, 21)
+            ], axis=1)
+            dk = np.concatenate([fp, np.full((21, 1), 1.0)], 1).flatten()
+            detections.append(dict(
+                image_id=i, category_id=1,
+                keypoints=[float(v) for v in dk],
+                score=float(rng.uniform(0.3, 1.0)),
+            ))
+    gt_dataset = dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )
+    return gt_dataset, detections
+
+
+def test_cocoeval_matches_reference_vendored_evaluator(hand_gt_dt):
+    """The exact-COCO keypoint evaluator must reproduce the reference's
+    vendored MYeval_hand (myeval_hand.py:14-501) to 1e-6 on all 10 stats."""
+    from tests import ref_loader
+
+    if not ref_loader.reference_available():
+        pytest.skip("reference checkout absent")
+    from litehandnet_tpu.data.coco import COCO
+    from litehandnet_tpu.eval.cocoeval import KeypointCOCOeval
+
+    gt_dataset, detections = hand_gt_dt
+    gt = COCO.from_dict(gt_dataset)
+    mine = KeypointCOCOeval(gt, detections).run()
+
+    myeval = ref_loader.load_myeval_hand()
+    dt = gt.loadRes(detections)
+    ref = myeval.MYeval_hand(gt, dt, "keypoints")
+    ref.params.imgIds = sorted(gt.getImgIds())
+    ref.evaluate()
+    ref.accumulate()
+    ref.summarize()
+    np.testing.assert_allclose(mine, ref.stats, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize(
+    "part", ["body", "foot", "face", "lefthand", "righthand", "wholebody"]
+)
+def test_wholebody_part_matches_reference(part):
+    """Per-part wholebody evaluators vs the reference's vendored versions on
+    the reference's own example GT/pred files
+    (coco_wholebody_evaluation/example_{gt,pred}.json), to 1e-6."""
+    from tests import ref_loader
+
+    if not ref_loader.reference_available():
+        pytest.skip("reference checkout absent")
+    import os.path as osp
+
+    from litehandnet_tpu.data.coco import COCO
+    from litehandnet_tpu.eval.wholebody import evaluate_part
+
+    gt_file = osp.join(ref_loader.REF_ROOT, ref_loader.WHOLEBODY_DIR,
+                       "example_gt.json")
+    pred_file = osp.join(ref_loader.REF_ROOT, ref_loader.WHOLEBODY_DIR,
+                         "example_pred.json")
+    gt = COCO(gt_file)
+    detections = json.loads(open(pred_file).read())
+
+    mine = evaluate_part(gt, detections, part)
+
+    mod = ref_loader.load_wholebody_evaluator(part)
+    ref_cls = getattr(mod, f"MYeval_{part}")
+    # the reference driver applies check_part_score first
+    # (evaluation_wholebody.py:82-98): '<part>_score' falls back to 'score'
+    ref_dets = [
+        dict(d, **{f"{part}_score": d.get(f"{part}_score", d["score"])})
+        for d in detections
+    ]
+    dt = gt.loadRes(ref_dets)
+    ref = ref_cls(gt, dt, "keypoints")
+    ref.params.useSegm = None
+    ref.evaluate()
+    ref.accumulate()
+    ref.summarize()
+    np.testing.assert_allclose(mine, ref.stats, atol=1e-6, rtol=0)
