@@ -1,0 +1,21 @@
+"""Experiment mirroring reference config/hourglass/_1_penoptic_256x256_dark_h8.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.num_stack': 8,
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'PIPELINE.sigma': [2, 2, 2, 2, 2, 2, 2, 2],
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'hourglass', 'panoptic', exp_id=1,
+        image_size=[256, 256], **_OVERRIDES,
+    )

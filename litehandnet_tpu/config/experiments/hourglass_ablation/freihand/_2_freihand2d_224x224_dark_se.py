@@ -1,0 +1,20 @@
+"""Experiment mirroring reference config/hourglass_ablation/freihand/_2_freihand2d_224x224_dark_se.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.ca_type': 'se',
+            'MODEL.pred_bbox': False,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'hourglass_ablation', 'freihand', exp_id=2,
+        image_size=[224, 224], **_OVERRIDES,
+    )

@@ -1,0 +1,23 @@
+"""Experiment mirroring reference config/litehandnet/_1_onehand10k_256x256_dark_h4_ca_none.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.num_stack': 1,
+            'MODEL.msrb_ca': 'ca',
+            'MODEL.use_se': False,
+            'MODEL.p_dropout': 0.0,
+            'PIPELINE.rot_prob': 0.5,
+            'PIPELINE.rot_factor': 45,
+            'PIPELINE.sigma': [2, 2],
+            'LOSS.loss_weight': [0.5, 1.0],
+            'OPTIMIZER.warmup_steps': 10,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'litehandnet', 'onehand10k', exp_id=1,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -1,0 +1,22 @@
+"""Experiment mirroring reference config/litehandnet/_3_freihand_224x244_dark_h4_ca_none_w256.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.num_stack': 1,
+            'MODEL.msrb_ca': 'ca',
+            'MODEL.rbu_ca': 'none',
+            'MODEL.input_channel': 256,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'litehandnet', 'freihand', exp_id=3,
+        image_size=[224, 224], **_OVERRIDES,
+    )

@@ -1,0 +1,20 @@
+"""Experiment mirroring reference config/mobilenetv2/_1_coco_wholebody_hand_256x256.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.out_indices': [7],
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mobilenetv2', 'coco_wholebody_hand', exp_id=1,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -1,0 +1,19 @@
+"""Experiment mirroring reference config/mynet/_2_rhd2d_256x256_dark.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'rhd', exp_id=2,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -1,0 +1,21 @@
+"""Experiment mirroring reference config/mynet/_3_onehand10k_256x256_dark.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 45,
+            'LOSS.loss_weight': [1.0],
+            'OPTIMIZER.type': 'AdamW',
+            'OPTIMIZER.lr': 0.005,
+            'OPTIMIZER.warmup_steps': 10,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'onehand10k', exp_id=3,
+        image_size=[256, 256], **_OVERRIDES,
+    )

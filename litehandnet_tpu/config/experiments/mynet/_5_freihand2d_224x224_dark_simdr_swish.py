@@ -1,0 +1,22 @@
+"""Experiment mirroring reference config/mynet/_5_freihand2d_224x224_dark_simdr_swish.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.pred_bbox': False,
+            'MODEL.output_swish': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'PIPELINE.simdr_split_ratio': 2,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+            'OPTIMIZER.step_epoch': [60, 80],
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'freihand', exp_id=5,
+        image_size=[224, 224], **_OVERRIDES,
+    )

@@ -1,0 +1,19 @@
+"""Experiment mirroring reference config/mynet/_5_rhd2d_256x256_dark_balance.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.pred_bbox': False,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'rhd', exp_id=5,
+        image_size=[256, 256], **_OVERRIDES,
+    )

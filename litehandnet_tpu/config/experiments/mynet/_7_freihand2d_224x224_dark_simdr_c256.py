@@ -1,0 +1,23 @@
+"""Experiment mirroring reference config/mynet/_7_freihand2d_224x224_dark_simdr_c256.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.input_channel': 256,
+            'MODEL.pred_bbox': False,
+            'MODEL.output_activation': False,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'PIPELINE.simdr_split_ratio': 2,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+            'OPTIMIZER.step_epoch': [60, 80],
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'freihand', exp_id=7,
+        image_size=[224, 224], **_OVERRIDES,
+    )

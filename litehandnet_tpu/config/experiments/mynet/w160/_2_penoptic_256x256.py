@@ -1,0 +1,20 @@
+"""Experiment mirroring reference config/mynet/w160/_2_penoptic_256x256.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.input_channel': 160,
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'panoptic', exp_id=2,
+        image_size=[256, 256], **_OVERRIDES,
+    )

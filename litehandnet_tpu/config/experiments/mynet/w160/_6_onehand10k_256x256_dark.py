@@ -1,0 +1,20 @@
+"""Experiment mirroring reference config/mynet/w160/_6_onehand10k_256x256_dark.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.input_channel': 160,
+            'MODEL.pred_bbox': False,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'mynet', 'onehand10k', exp_id=6,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -1,0 +1,26 @@
+"""Experiment mirroring reference config/resnet/_2_rhd2d_256x256_dark_resnet18.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.depth': 18,
+            'MODEL.stem_channels': 64,
+            'MODEL.base_channels': 64,
+            'MODEL.strides': [1, 2, 2, 2],
+            'MODEL.deep_stem': False,
+            'MODEL.num_stages': 4,
+            'MODEL.out_indices': [3],
+            'MODEL.pred_bbox': True,
+            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_factor': 0,
+            'LOSS.loss_weight': [1.0, 1.0],
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'resnet', 'rhd', exp_id=2,
+        image_size=[256, 256], **_OVERRIDES,
+    )

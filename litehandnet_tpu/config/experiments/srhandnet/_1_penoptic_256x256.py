@@ -1,0 +1,19 @@
+"""Experiment mirroring reference config/srhandnet/_1_penoptic_256x256.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.output_channel': 21,
+            'MODEL.pred_bbox': False,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'OPTIMIZER.warmup_steps': 210,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'srhandnet', 'panoptic', exp_id=1,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -1,0 +1,21 @@
+"""Experiment mirroring reference config/srhandnet/_2_freihand2d_224x224.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.output_channel': 21,
+            'MODEL.pred_bbox': False,
+            'PIPELINE.unbiased_encoding': False,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'OPTIMIZER.lr': 0.0001,
+            'OPTIMIZER.warmup_steps': 200,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'srhandnet', 'freihand', exp_id=2,
+        image_size=[224, 224], **_OVERRIDES,
+    )

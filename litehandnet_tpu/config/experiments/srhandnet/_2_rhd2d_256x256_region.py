@@ -1,0 +1,18 @@
+"""Experiment mirroring reference config/srhandnet/_2_rhd2d_256x256_region.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'PIPELINE.unbiased_encoding': False,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'OPTIMIZER.warmup_steps': 210,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'srhandnet', 'rhd', exp_id=2,
+        image_size=[256, 256], **_OVERRIDES,
+    )

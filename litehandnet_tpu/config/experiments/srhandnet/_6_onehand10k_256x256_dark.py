@@ -1,0 +1,21 @@
+"""Experiment mirroring reference config/srhandnet/_6_onehand10k_256x256_dark.py (same knobs; dataset
+paths follow this repo's canonical layout)."""
+
+from litehandnet_tpu.config.templates import make_cfg
+
+_OVERRIDES = {
+            'MODEL.output_channel': 21,
+            'MODEL.pred_bbox': False,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.2, 0.2, 0.3, 1.0],
+            'OPTIMIZER.type': 'SGD',
+            'OPTIMIZER.lr': 0.0002,
+            'OPTIMIZER.warmup_steps': 100,
+        }
+
+
+def _get_cfg():
+    return make_cfg(
+        'srhandnet', 'onehand10k', exp_id=6,
+        image_size=[256, 256], **_OVERRIDES,
+    )

@@ -60,6 +60,19 @@ _DATASETS = {
                "person_keypoints_val2017.json",
                "person_keypoints_val2017.json"),
     ),
+    "mpii_action": dict(
+        name="mpii_action", num_joints=16,
+        ann_root="data/mpii/annotations",
+        img_prefix="data/mpii/images/",
+        files=("mpii_action_train.json", "mpii_action_val.json",
+               "mpii_action_val.json"),
+    ),
+    "zhhand": dict(
+        name="zhhand", num_joints=21,
+        ann_root="data/handset/zhhand/annotations",
+        img_prefix="data/handset/zhhand/",
+        files=("zhhand_train.json", "zhhand_test.json", "zhhand_test.json"),
+    ),
 }
 
 _MODELS = {

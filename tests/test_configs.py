@@ -1,0 +1,47 @@
+"""Every experiment config must load, satisfy the schema, and build its
+model + criterion (construction only — init/compile is covered per family
+elsewhere). Round-1 shipped configs nothing ever imported."""
+
+import glob
+import os.path as osp
+
+import pytest
+
+import litehandnet_tpu.config.experiments as exp_pkg
+from litehandnet_tpu.config import get_config
+
+EXP_ROOT = osp.dirname(exp_pkg.__file__)
+CONFIGS = sorted(
+    osp.relpath(p, EXP_ROOT)[:-3]
+    for p in glob.glob(osp.join(EXP_ROOT, "**", "*.py"), recursive=True)
+    if not p.endswith("__init__.py")
+)
+
+
+def test_config_surface_is_wide():
+    """The reference ships 108 experiment files (one unloadable); the mirror
+    set plus this repo's own configs must at least match that breadth."""
+    assert len(CONFIGS) >= 107, len(CONFIGS)
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_config_loads_and_builds(name):
+    from litehandnet_tpu.losses import get_loss
+    from litehandnet_tpu.models import get_model
+
+    cfg = get_config(name)
+    # schema
+    for section in ("MODEL", "DATASET", "PIPELINE", "EVAL", "TRAIN",
+                    "OPTIMIZER", "LOSS"):
+        assert section in cfg, (name, section)
+    assert cfg.DATASET.num_joints > 0
+    w, h = cfg.DATASET.image_size
+    assert w > 0 and h > 0
+    # consistency rule: region/bbox models never train with rotation
+    if cfg.MODEL.get("pred_bbox", False):
+        assert cfg.PIPELINE.rot_prob == 0 and cfg.PIPELINE.rot_factor == 0
+    # registry construction (cheap — no params init)
+    model = get_model(cfg)
+    assert model is not None
+    crit = get_loss(cfg)
+    assert crit is not None
