@@ -35,17 +35,12 @@ def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
         (canvas, offset_xy, scale_xy): source-image coords map to canvas
         coords as ``(p - offset_xy) * scale_xy``.
     """
-    from PIL import Image
-
     H0, W0 = canvas_hw
     canvas = np.zeros((H0, W0, 3), np.uint8)
     offset = np.zeros(2, np.float32)
     fscale = np.ones(2, np.float32)
-    try:
-        with Image.open(path) as im:
-            im = im.convert("RGB")
-            arr = np.asarray(im, np.uint8)
-    except (FileNotFoundError, OSError):
+    arr = _decode_image(path)
+    if arr is None:
         return canvas, offset, fscale
     h, w = arr.shape[:2]
     if (h > H0 or w > W0) and center is not None and scale is not None:
@@ -62,13 +57,72 @@ def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
     if h > H0 or w > W0:
         f = min(H0 / h, W0 / w)
         nw, nh = max(int(w * f), 1), max(int(h * f), 1)
-        arr = np.asarray(
-            Image.fromarray(arr).resize((nw, nh), Image.BILINEAR), np.uint8
-        )
+        arr = _resize_u8(arr, nw, nh)
         fscale = np.float32([nw / w, nh / h])
         h, w = nh, nw
     canvas[:h, :w] = arr
     return canvas, offset, fscale
+
+
+def _decode_image(path: str):
+    """Decode RGB uint8; cv2 when available (faster and releases the GIL,
+    so the thread pool actually parallelizes), PIL otherwise."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        pass
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+    except (FileNotFoundError, OSError):
+        return None
+
+
+def _resize_u8(arr, nw: int, nh: int):
+    try:
+        import cv2
+
+        return cv2.resize(arr, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(arr).resize((nw, nh), Image.BILINEAR), np.uint8
+        )
+
+
+def prefetch_iter(gen, size: int = 2):
+    """Run `gen` in a background thread, keeping up to `size` items ready —
+    overlaps host JPEG decode with device compute (double buffering)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 class DataLoader:
@@ -183,12 +237,11 @@ class DataLoader:
         }
         return batch
 
-    def batches(self, epoch: int = 0) -> Iterator[dict]:
+    def _raw_batches(self, epoch: int) -> Iterator[dict]:
         rng = np.random.RandomState(self.seed + epoch)
         idxs = self.local_indices.copy()
         if self.is_train:
             rng.shuffle(idxs)
-        key = jax.random.PRNGKey(self.seed * 100003 + epoch)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
@@ -198,30 +251,39 @@ class DataLoader:
                     # pad to static batch size (repeat last records)
                     pad = self.batch_size - len(chunk)
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(pad)])
-                raw = self._raw_batch(chunk, pool)
-                if self.pipeline is None:
-                    yield raw
-                    continue
-                key, sub = jax.random.split(key)
-                out = self.pipeline(
-                    raw["img_raw"], raw["joints_canvas"], raw["vis"],
-                    raw["center_canvas"], raw["scale_canvas"],
-                    raw["rotation"], sub, bboxes=raw["bbox_canvas"],
-                )
-                batch = dict(out)
-                # center/scale back to ORIGINAL image coords so decode /
-                # transform_preds land in annotation space (the crop content
-                # is the same ROI either way)
-                batch["center"] = out["center"] / raw["img_scale"] + raw["offset"]
-                batch["scale"] = out["scale"] / raw["img_scale"]
-                batch["img_raw"] = raw["img_raw"]
-                batch["joints_src"] = raw["joints"]
-                batch["vis_src"] = raw["vis"]
-                batch["bbox"] = raw["bbox"]
-                batch["image_file"] = raw["image_file"]
-                batch["bbox_id"] = raw["bbox_id"]
-                batch["bbox_score"] = raw["bbox_score"]
-                yield batch
+                yield self._raw_batch(chunk, pool)
+
+    def batches(self, epoch: int = 0, prefetch: int = 2) -> Iterator[dict]:
+        key = jax.random.PRNGKey(self.seed * 100003 + epoch)
+        raw_iter = self._raw_batches(epoch)
+        if prefetch:
+            # decode the next batch on a background thread while the device
+            # works on the current one
+            raw_iter = prefetch_iter(raw_iter, prefetch)
+        for raw in raw_iter:
+            if self.pipeline is None:
+                yield raw
+                continue
+            key, sub = jax.random.split(key)
+            out = self.pipeline(
+                raw["img_raw"], raw["joints_canvas"], raw["vis"],
+                raw["center_canvas"], raw["scale_canvas"],
+                raw["rotation"], sub, bboxes=raw["bbox_canvas"],
+            )
+            batch = dict(out)
+            # center/scale back to ORIGINAL image coords so decode /
+            # transform_preds land in annotation space (the crop content
+            # is the same ROI either way)
+            batch["center"] = out["center"] / raw["img_scale"] + raw["offset"]
+            batch["scale"] = out["scale"] / raw["img_scale"]
+            batch["img_raw"] = raw["img_raw"]
+            batch["joints_src"] = raw["joints"]
+            batch["vis_src"] = raw["vis"]
+            batch["bbox"] = raw["bbox"]
+            batch["image_file"] = raw["image_file"]
+            batch["bbox_id"] = raw["bbox_id"]
+            batch["bbox_score"] = raw["bbox_score"]
+            yield batch
 
     def __iter__(self):
         return self.batches(0)

@@ -88,7 +88,10 @@ class ResultParser:
                  num_candidates: int = 20, cd_enabled: bool = True,
                  cd_reduction: int = 2):
         self.image_size = tuple(int(v) for v in cfg.DATASET.image_size)
-        self.heatmap_size = tuple(int(v) for v in cfg.DATASET.heatmap_size)
+        hm = cfg.DATASET.heatmap_size
+        if hm and isinstance(hm[0], (list, tuple)):
+            hm = hm[-1]  # multi-scale (SRHandNet): parse at the finest scale
+        self.heatmap_size = tuple(int(v) for v in hm)
         self.feature_stride = self.image_size[0] / self.heatmap_size[0]
         self.num_candidates = num_candidates
         self.max_num_bbox = int(pcfg.max_num_bbox)

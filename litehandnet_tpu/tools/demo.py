@@ -22,6 +22,12 @@ def main(argv=None):
                         help="image files or a single video file")
     parser.add_argument("--out-dir", default="demo_out")
     parser.add_argument("--load-best", action="store_true")
+    parser.add_argument(
+        "--pyramid", action="store_true",
+        help="SRHandNet two-stage multi-hand inference on full frames "
+             "(reference official_code.py:28-213)",
+    )
+    parser.add_argument("--max-hands", type=int, default=4)
     args = parser.parse_args(argv)
 
     import jax
@@ -75,7 +81,45 @@ def main(argv=None):
                     Image.open(path).convert("RGB")
                 )
 
+    pyramid = None
+    if args.pyramid:
+        from litehandnet_tpu.eval.srhandnet_pyramid import SRHandNetPyramid
+
+        assert cfg.MODEL.name.lower() == "srhandnet", \
+            "--pyramid is the SRHandNet official demo path"
+        pyramid = SRHandNetPyramid(
+            model, variables, input_hw=(H, W), max_hands=args.max_hands,
+            num_joints=info.keypoint_num,
+        )
+
     for tag, frame in iter_frames():
+        if pyramid is not None:
+            coords, found, rects, hand_valid = pyramid(frame)
+            vis = frame
+            valid_rects = rects[hand_valid]
+            if len(valid_rects):
+                # xywh (top-left) -> cxcywh for draw_bbox
+                cboxes = valid_rects.copy()
+                cboxes[:, 0] += cboxes[:, 2] / 2
+                cboxes[:, 1] += cboxes[:, 3] / 2
+                vis = draw_bbox(
+                    vis, np.concatenate(
+                        [cboxes, np.ones((len(cboxes), 1))], axis=1
+                    ),
+                )
+            for hi in np.where(hand_valid)[0]:
+                hand = np.concatenate(
+                    [coords[hi], found[hi][:, None].astype(np.float32)],
+                    axis=1,
+                )
+                vis = draw_keypoints(
+                    vis, hand, info.skeleton, info.pose_kpt_color,
+                    info.pose_link_color,
+                )
+            out_path = os.path.join(args.out_dir, tag)
+            Image.fromarray(np.asarray(vis, np.uint8)).save(out_path)
+            print(f"wrote {out_path}", flush=True)
+            continue
         img = np.asarray(Image.fromarray(frame).resize((W, H)))
         inp = ((img / 255.0 - mean) / std).astype(np.float32)[None]
         out = fwd(variables, jnp.asarray(inp))
