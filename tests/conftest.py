@@ -22,6 +22,10 @@ import jax  # noqa: E402
 # the env var alone is not enough, so force CPU through the config API too.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache: repeat suite runs skip most compilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/lhn_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -65,7 +65,9 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
-@pytest.mark.parametrize("sync_bn", [True, False])
+@pytest.mark.parametrize("sync_bn", [
+    True, pytest.param(False, marks=pytest.mark.slow),
+])
 def test_train_step_runs_and_learns(sync_bn, rng):
     cfg, mesh, model, crit, tx, state, batch = _setup(sync_bn)
     step = make_train_step(model, crit, tx, mesh, donate=False)
@@ -81,6 +83,7 @@ def test_train_step_runs_and_learns(sync_bn, rng):
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(rng):
     """8-way DP on a replicated batch must match 1-device training (the
     gradient pmean over identical shards is an identity). Uses the SE

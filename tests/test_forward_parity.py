@@ -32,7 +32,8 @@ CASES = [
     pytest.param(
         "config/litehandnet/freihand/_1_freihand_224x244_dark_h4_ca_r4_leaky.py",
         "litehandnet", 64, marks=slow),
-    ("config/resnet/_2_freihand2d_224x224_dark_resnet18.py", "resnet", 64),
+    pytest.param("config/resnet/_2_freihand2d_224x224_dark_resnet18.py",
+                 "resnet", 64, marks=slow),
     pytest.param("config/resnet/_1_freihand2d_224x224_dark_resnet50.py",
                  "resnet", 64, marks=slow),
     pytest.param("config/mobilenetv2/_1_freihand2d_224x224_dark.py",
@@ -44,7 +45,8 @@ CASES = [
                  "litehrnet", 64, marks=slow),
     pytest.param("config/hourglass/_2_freihand2d_224x224_dark_h2.py",
                  "hourglass", 64, marks=slow),
-    ("config/mynet/_2_freihand2d_224x224_dark.py", "mynet", 64),
+    pytest.param("config/mynet/_2_freihand2d_224x224_dark.py", "mynet", 64,
+                 marks=slow),
     pytest.param("config/atthandnet/_1_freihand2d_224x224.py",
                  "atthandnet", 224, marks=slow),
 ] + [

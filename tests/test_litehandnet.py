@@ -62,7 +62,11 @@ def test_train_mode_has_batch_stats():
     assert "batch_stats" in mutated
 
 
-@pytest.mark.parametrize("ca_type", ["ca", "se", "none"])
+@pytest.mark.parametrize("ca_type", [
+    "ca",
+    pytest.param("se", marks=pytest.mark.slow),
+    pytest.param("none", marks=pytest.mark.slow),
+])
 def test_reparam_deploy_parity(ca_type, rng):
     """Deploy-fused model must reproduce train-graph (eval mode) outputs
     (reference invariant: liteHandNet.py:240-244 + repblocks.py:214-236)."""

@@ -25,17 +25,31 @@ def _n_params(model, x):
     return sum(p.size for p in jax.tree.leaves(variables["params"])), variables
 
 
+slow = pytest.mark.slow
+
+# (name, model_kw, input_hw, expected_heatmap_hw, ref_params_M); families
+# already covered by torch-weight-transfer FORWARD parity
+# (test_forward_parity) keep only a cheap default smoke here
 CASES = [
-    # (name, model_kw, input_hw, expected_heatmap_hw, ref_params_M)
     ("resnet", dict(depth=18, output_channel=21), 64, 16, 15.38),
-    ("resnet", dict(depth=50, output_channel=21), 64, 16, 30.62),
-    ("mobilenetv2", dict(output_channel=21), 64, 16, 9.59),
-    ("litehrnet", dict(depth=18, output_channel=21), 64, 16, 1.48),
-    ("litehrnet", dict(depth=30, output_channel=21), 64, 16, 1.77),
-    ("hourglass", dict(num_stack=1, input_channel=256, output_channel=21), 64, 16, 3.43),
-    ("hourglass", dict(num_stack=2, input_channel=256, output_channel=21), 64, 16, 6.57),
-    ("mynet", dict(num_stage=4, input_channel=128, num_block=[2, 2, 2], output_channel=21), 64, 16, 2.24),
-    ("hourglass_ablation", dict(num_stage=4, input_channel=128, num_block=[2, 2, 2], msrb=True, rca=False, ca_type="ca", output_channel=21), 64, 16, None),
+    pytest.param("resnet", dict(depth=50, output_channel=21), 64, 16, 30.62,
+                 marks=slow),
+    pytest.param("mobilenetv2", dict(output_channel=21), 64, 16, 9.59,
+                 marks=slow),
+    pytest.param("litehrnet", dict(depth=18, output_channel=21), 64, 16,
+                 1.48, marks=slow),
+    pytest.param("litehrnet", dict(depth=30, output_channel=21), 64, 16,
+                 1.77, marks=slow),
+    pytest.param("hourglass", dict(num_stack=1, input_channel=256,
+                 output_channel=21), 64, 16, 3.43, marks=slow),
+    pytest.param("hourglass", dict(num_stack=2, input_channel=256,
+                 output_channel=21), 64, 16, 6.57, marks=slow),
+    pytest.param("mynet", dict(num_stage=4, input_channel=128,
+                 num_block=[2, 2, 2], output_channel=21), 64, 16, 2.24,
+                 marks=slow),
+    pytest.param("hourglass_ablation", dict(num_stage=4, input_channel=128,
+                 num_block=[2, 2, 2], msrb=True, rca=False, ca_type="ca",
+                 output_channel=21), 64, 16, None, marks=slow),
     ("srhandnet", dict(output_channel=24, pred_bbox=True), 64, None, 18.26),
 ]
 
@@ -43,7 +57,6 @@ CASES = [
 @pytest.mark.parametrize(
     "name,model_kw,in_hw,out_hw,ref_m",
     CASES,
-    ids=[f"{c[0]}-{list(c[1].values())[0]}" for c in CASES],
 )
 def test_forward_and_params(name, model_kw, in_hw, out_hw, ref_m):
     cfg = _cfg(name, **model_kw)
@@ -71,6 +84,7 @@ def test_forward_and_params(name, model_kw, in_hw, out_hw, ref_m):
         )
 
 
+@pytest.mark.slow
 def test_mynet_stacked_simdr_region():
     cfg = config_from_dict(
         dict(
@@ -95,6 +109,7 @@ def test_mynet_stacked_simdr_region():
     assert pred_y.shape == (1, 21, 128)
 
 
+@pytest.mark.slow
 def test_atthandnet_coords():
     # needs 224 input: 7 blur-pool halvings must leave >=2 px (as reference)
     cfg = _cfg("atthandnet", output_channel=42)
@@ -114,6 +129,7 @@ def test_unknown_model_raises():
         get_model(_cfg("nonexistent"))
 
 
+@pytest.mark.slow
 def test_litehandnet_msrb():
     cfg = _cfg(
         "litehandnet_msrb", num_stage=3, input_channel=32, msrb_ca="ca",
@@ -138,6 +154,7 @@ def test_yolov6_detector():
     assert out.shape == (1, 84, 6)
 
 
+@pytest.mark.slow
 def test_classifier():
     cfg = _cfg("classifier", num_classes=10)
     model = get_model(cfg)

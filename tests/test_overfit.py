@@ -5,6 +5,7 @@ a small step budget, proving the full loss/grad/decode loop is wired right."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from litehandnet_tpu.config import config_from_dict
 from litehandnet_tpu.losses import get_loss
@@ -15,6 +16,7 @@ from litehandnet_tpu.train import TrainState, make_mesh, make_train_step
 from litehandnet_tpu.train.optim import make_optimizer
 
 
+@pytest.mark.slow
 def test_overfit_one_batch(rng):
     IMG, HM = 64, 16
     cfg = config_from_dict(

@@ -4,6 +4,7 @@ device pipeline + SRHandNetLoss + DP train step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from litehandnet_tpu.config import config_from_dict
 from litehandnet_tpu.data.device_pipeline import DevicePipeline
@@ -12,6 +13,7 @@ from litehandnet_tpu.models import get_model
 from litehandnet_tpu.train import TrainState, make_mesh, make_train_step
 
 
+@pytest.mark.slow
 def test_srhandnet_multiscale_training(rng):
     IMG = 64
     cfg = config_from_dict(
