@@ -19,6 +19,7 @@ import numpy as np
 
 from litehandnet_tpu.data import build_dataset
 from litehandnet_tpu.data.device_pipeline import DevicePipeline
+from litehandnet_tpu import native
 
 
 def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
@@ -150,6 +151,7 @@ class DataLoader:
         num_workers: int = 8,
         drop_last: Optional[bool] = None,
         seed: int = 0,
+        use_native: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.data_type = data_type
@@ -171,6 +173,9 @@ class DataLoader:
         sf = float(cfg.PIPELINE.get("scale_factor", 0)) if self.is_train else 0.0
         self.roi_margin = (1.0 + sf) * 1.05
         self.num_workers = num_workers
+        self.use_native = (
+            native.available() if use_native is None else bool(use_native)
+        )
         self.pipeline = None
         if use_device_pipeline:
             self.pipeline = DevicePipeline(
@@ -185,8 +190,37 @@ class DataLoader:
         n = len(self.local_indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _raw_batch(self, idxs, pool):
-        records = [self.dataset.db[i] for i in idxs]
+    def _decode_batch(self, records, pool):
+        """Decode a batch of records into canvases + geometry.
+
+        Fast path: the native C++ batched libjpeg-turbo ROI decoder
+        (litehandnet_tpu/native). Any image it cannot handle (PNG, CMYK,
+        progressive, IO error) falls back to the per-image cv2/PIL path with
+        identical geometry semantics.
+        """
+        if self.use_native:
+            centers = np.stack(
+                [np.asarray(r["center"], np.float32) for r in records]
+            )
+            wxy = np.stack(
+                [np.asarray(r["scale"], np.float32) for r in records]
+            ) * 200.0 * float(self.roi_margin)
+            halves = np.hypot(wxy[:, 0], wxy[:, 1]) / 2.0 + 4.0
+            canv, off, fsc, status = native.decode_roi_batch(
+                [r["image_file"] for r in records], self.canvas_hw,
+                centers, halves.astype(np.float32),
+                n_threads=self.num_workers,
+            )
+            if (status == 0).all():
+                return list(canv), off.astype(np.float32), fsc.astype(np.float32)
+            for i in np.nonzero(status)[0]:
+                r = records[i]
+                canv[i], off[i], fsc[i] = _load_image(
+                    r["image_file"], self.canvas_hw,
+                    center=r["center"], scale=r["scale"],
+                    margin=self.roi_margin,
+                )
+            return list(canv), off.astype(np.float32), fsc.astype(np.float32)
         loaded = list(
             pool.map(
                 lambda r: _load_image(
@@ -198,8 +232,13 @@ class DataLoader:
             )
         )
         images = [im for im, _, _ in loaded]
-        offset = np.stack([o for _, o, _ in loaded])        # [B, 2]
-        fscale = np.stack([f for _, _, f in loaded])        # [B, 2]
+        offset = np.stack([o for _, o, _ in loaded])
+        fscale = np.stack([f for _, _, f in loaded])
+        return images, offset, fscale
+
+    def _raw_batch(self, idxs, pool):
+        records = [self.dataset.db[i] for i in idxs]
+        images, offset, fscale = self._decode_batch(records, pool)
         joints = np.stack(
             [r["joints_3d"][:, :2].astype(np.float32) for r in records]
         )
