@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from litehandnet_tpu.models.layers import Conv, RepBlock, RepConv, relu
+from litehandnet_tpu.models.layers import (
+    Conv,
+    RepBlock,
+    RepConv,
+    relu,
+    resize_nearest,
+)
 
 
 class SimSPPF(nn.Module):
@@ -109,8 +115,7 @@ class RepPANNeck(nn.Module):
         kw = dict(deploy=self.deploy, axis_name=self.axis_name, dtype=self.dtype)
 
         def up(z):
-            B, H, W, C = z.shape
-            return jax.image.resize(z, (B, H * 2, W * 2, C), "nearest")
+            return resize_nearest(z, (z.shape[1] * 2, z.shape[2] * 2))
 
         p5 = RepConv(ch[1], 1, act=relu, name="reduce0", **kw)(c5, train)
         x = jnp.concatenate([up(p5), c4], axis=-1)
