@@ -319,6 +319,12 @@ class DataLoader:
             batch["joints_src"] = raw["joints"]
             batch["vis_src"] = raw["vis"]
             batch["bbox"] = raw["bbox"]
+            # canvas geometry, for second-pass consumers (cycle detection)
+            # that re-crop img_raw with fresh centers/scales
+            batch["offset"] = raw["offset"]
+            batch["img_scale"] = raw["img_scale"]
+            batch["joints_canvas"] = raw["joints_canvas"]
+            batch["bbox_canvas"] = raw["bbox_canvas"]
             batch["image_file"] = raw["image_file"]
             batch["bbox_id"] = raw["bbox_id"]
             batch["bbox_score"] = raw["bbox_score"]

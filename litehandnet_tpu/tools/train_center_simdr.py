@@ -131,14 +131,18 @@ def main(argv=None):
                 agg[k] = agg.get(k, 0.0) + float(v)
 
             if rng.rand() < args.cd_prob:
-                # cycle-detection pass: re-crop GT bboxes at half size
-                bbox = np.asarray(raw["bbox"])
+                # cycle-detection pass: re-crop GT bboxes at half size.
+                # img_raw is in CANVAS coords (the loader may have
+                # ROI-shifted/downscaled the source), so derive the fresh
+                # (center, scale) from bbox_canvas and use joints_canvas.
+                bbox = np.asarray(raw["bbox_canvas"])
                 centers = bbox[:, :2] + bbox[:, 2:] / 2.0
                 sides = np.maximum(bbox[:, 2:3], bbox[:, 3:4])
                 scales = np.concatenate([sides, sides], axis=1) / 200.0 * 1.3
                 cd_batch = cd_pipeline(
                     _raw_images(raw),
-                    np.asarray(raw["joints_src"]), np.asarray(raw["vis_src"]),
+                    np.asarray(raw["joints_canvas"]),
+                    np.asarray(raw["vis_src"]),
                     centers, scales, np.zeros(len(bbox), np.float32), k2,
                     bboxes=bbox,
                 )
