@@ -115,6 +115,65 @@ def _walk(p: Any, s: Any) -> Any:
     return out
 
 
+def fold_input_normalization(
+    variables: Mapping,
+    mean,
+    std,
+    conv_path=("pre", "c1", "rep", "conv"),
+) -> dict:
+    """Fold ``(x - mean) / std`` input normalization into the first conv.
+
+    Deploy-time serving transform: the returned variables consume RAW pixel
+    values (e.g. uint8 0..255 cast to the compute dtype), removing the
+    elementwise normalize pass (and its HBM round-trip) from the pipeline.
+    For a conv with HWIO kernel K and bias b,
+        conv((x - mean)/std; K, b) == conv(x; K/std, b - sum_hw K/std @ mean)
+    everywhere the conv window reads real pixels.
+
+    Exact wherever the conv window reads only real pixels — in particular
+    for a VALID-padded first conv. Where zero-padding IS read, a padded zero
+    now means raw 0 (normalized ``-mean/std``) instead of normalized 0, so
+    the first feature map's border ring shifts. How far that propagates is
+    architecture-dependent: in nets with global pooling on the trunk
+    (LiteHandNet's encoder shortcut and channel-attention gates) the border
+    delta reaches every output, so do NOT use this on such models without
+    validating accuracy with the trained weights; in purely local conv
+    stacks it stays confined near the crop border.
+
+    Args:
+        variables: deploy-mode ``{'params': ...}`` (from :func:`fuse_params`
+            or a ``deploy=True`` init).
+        mean, std: per-channel stats in the same units as the raw input
+            (for 0..255 uint8 pixels, the ImageNet stats * 255).
+        conv_path: key path of the first conv's ``{'kernel','bias'}`` dict
+            inside ``variables['params']``. Default is LiteHandNet's fused
+            stem conv.
+
+    Returns:
+        New variables dict; everything outside ``conv_path`` is shared.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def rebuild(node: Mapping, path) -> dict:
+        if not path:
+            kernel = node["kernel"].astype(jnp.float32)
+            bias = node["bias"].astype(jnp.float32)
+            folded_k = kernel / std[None, None, :, None]
+            folded_b = bias - jnp.einsum("hwco,c->o", folded_k, mean)
+            return {
+                "kernel": folded_k.astype(node["kernel"].dtype),
+                "bias": folded_b.astype(node["bias"].dtype),
+            }
+        out = dict(node)
+        out[path[0]] = rebuild(node[path[0]], path[1:])
+        return out
+
+    out = dict(variables)
+    out["params"] = rebuild(variables["params"], tuple(conv_path))
+    return out
+
+
 def fuse_params(variables: Mapping) -> dict:
     """Map train-mode variables to deploy-mode variables.
 

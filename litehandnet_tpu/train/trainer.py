@@ -149,9 +149,11 @@ class Trainer:
             )
             if val_batches is not None and (epoch + 1) % eval_interval == 0:
                 val_metrics = self.val_one_epoch(state, val_batches(), epoch)
-                val_loss = sum(
-                    v for k, v in val_metrics.items() if k != "loss"
-                ) or val_metrics.get("loss", np.nan)
+                # reference gates on the criterion's total (dist_train.py:208
+                # `val_loss_dict['sum']`), which is our "loss" entry; summing
+                # components instead would double-count any unweighted
+                # diagnostic a criterion chooses to report
+                val_loss = val_metrics.get("loss", np.nan)
                 msg += f" val_loss={val_loss:.5f}"
                 if is_chief() and val_loss < self.min_val_loss:
                     self.min_val_loss = val_loss

@@ -99,3 +99,37 @@ def test_reparam_deploy_parity(ca_type, rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4
     )
+
+
+def test_fold_input_normalization(rng):
+    """fold_input_normalization on a VALID-padded first conv is exact:
+    conv((x - mean)/std) == folded_conv(x) wherever only real pixels are
+    read (the transform's licensed domain; with zero-padding the border
+    ring deviates by construction — see the docstring)."""
+    from flax import linen as nn
+
+    from litehandnet_tpu.models.reparam import fold_input_normalization
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), padding="VALID",
+                        name="stem")(x)
+            return nn.leaky_relu(nn.Conv(4, (1, 1), name="head")(x))
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    mean = np.float32([0.485, 0.456, 0.406]) * 255.0
+    std = np.float32([0.229, 0.224, 0.225]) * 255.0
+    raw = rng.randint(0, 256, size=(2, 32, 32, 3)).astype(np.float32)
+
+    want = model.apply(variables, jnp.asarray((raw - mean) / std))
+    folded = fold_input_normalization(variables, mean, std,
+                                      conv_path=("stem",))
+    got = model.apply(folded, jnp.asarray(raw))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # everything outside conv_path is shared, not copied
+    assert folded["params"]["head"] is variables["params"]["head"]
