@@ -198,7 +198,11 @@ def fill_variables(target, imported, rtol_shapes=True):
             )
             leaves.append(leaf)
             continue
-        leaves.append(np.asarray(src, np.asarray(leaf).dtype))
+        # force a copy: for CPU torch tensors the converted leaf can be a
+        # numpy VIEW of the live parameter storage (tensor.numpy() shares
+        # memory), and a later in-place optimizer.step() on the torch side
+        # would silently rewrite the "imported" variables
+        leaves.append(np.array(src, dtype=np.asarray(leaf).dtype, copy=True))
     extra = set(imp) - used
     if extra:
         problems.append(
