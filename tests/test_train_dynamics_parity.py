@@ -38,6 +38,12 @@ CASES = [
         "config/mobilenetv2/_1_freihand2d_224x224_dark.py", "mobilenetv2",
         False, marks=pytest.mark.slow,
     ),
+    # flagship; ca_none is the dropout-free variant (Dropout2d randomness
+    # cannot be synchronized across frameworks)
+    pytest.param(
+        "config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py",
+        "litehandnet", True, marks=pytest.mark.slow,
+    ),
 ]
 
 STEPS = 5
@@ -53,10 +59,11 @@ def _build_ref_loss(refcfg):
 
 
 @pytest.mark.parametrize("refcfg_path,family,stable", CASES)
-def test_train_dynamics_parity(refcfg_path, family, stable, rng):
+def test_train_dynamics_parity(refcfg_path, family, stable, rng, monkeypatch):
     import jax
     import jax.numpy as jnp
     import optax
+    from flax import linen as fnn
 
     from litehandnet_tpu.config import config_from_dict
     from litehandnet_tpu.losses import get_loss
@@ -66,9 +73,19 @@ def test_train_dynamics_parity(refcfg_path, family, stable, rng):
 
     B, SIZE, HM, K = 2, 64, 16, 21
 
+    # dropout randomness cannot be synchronized across frameworks, so it is
+    # neutralized identically on both sides (p=0 keeps the 1/(1-p) scale at
+    # exactly 1); everything else in the train graph is still compared
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__", lambda self, x, *a, **kw: x
+    )
+
     refcfg = ref_loader.load_ref_config(refcfg_path)
     tm = ref_loader.build_ref_model(refcfg)
     sane_reinit(tm)
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
     ref_criterion = _build_ref_loss(refcfg)
 
     cfg = config_from_dict(dict(refcfg))
@@ -128,6 +145,8 @@ def test_train_dynamics_parity(refcfg_path, family, stable, rng):
                 for p in tm.parameters() if p.grad is not None
             )
         opt.step()
+        if len(t_losses) == 0:
+            t_sd1 = {k: v.detach().clone() for k, v in tm.state_dict().items()}
         t_losses.append(float(loss.detach()))
 
     # --- flax side --------------------------------------------------------
@@ -155,13 +174,14 @@ def test_train_dynamics_parity(refcfg_path, family, stable, rng):
         return (optax.apply_updates(params, updates), new_stats, new_opt,
                 loss, gnorm2)
 
-    f_losses, f_gnorm2 = [], None
+    f_losses, f_gnorm2, f_state1 = [], None, None
     for x, tgt in zip(xs, targets):
         params, stats, opt_state, loss, gnorm2 = step(
             params, stats, opt_state, jnp.asarray(x), jnp.asarray(tgt)
         )
         if f_gnorm2 is None:
             f_gnorm2 = float(gnorm2)
+            f_state1 = (params, stats)
         f_losses.append(float(loss))
 
     # step 0: loss parity on the transferred weights (forward + reduction)
@@ -177,26 +197,38 @@ def test_train_dynamics_parity(refcfg_path, family, stable, rng):
     np.testing.assert_allclose(f_losses, t_losses, rtol=5e-2)
     assert t_losses[-1] < t_losses[0]  # training actually moved
 
-    # wholesale post-training state comparison: re-transfer the TRAINED
-    # torch state_dict and diff every leaf — parameters moved by 5 SGD
-    # steps AND BatchNorm running stats (torch momentum 0.1 == flax 0.9
-    # convention; a momentum mismatch would show O(1) relative error here).
-    # Running stats get a wider band: torch feeds the UNBIASED batch
-    # variance (n/(n-1)) into the EMA while flax feeds the biased one — up
-    # to ~14% per update at this test's tiny n=8 deepest layer (documented
-    # in PARITY.md; <0.1% at production shapes) — on top of trajectory
-    # drift in the deep activations.
+    # wholesale AFTER-ONE-STEP state comparison: re-transfer the stepped
+    # torch state_dict and diff every leaf — one update's worth of
+    # parameter movement AND one BN running-stat EMA update, before
+    # chaotic trajectory amplification sets in (by step 5 the deep-layer
+    # running stats diverge at O(1) for the touchier families). A momentum
+    # mismatch (torch 0.1 vs flax 0.9 convention) would flip the EMA
+    # weights and show O(1) error on every stats leaf; the unbiased-vs-
+    # biased batch-variance EMA convention (PARITY.md) contributes only
+    # ~1.4% here (0.1 EMA weight x n/(n-1) at n=8).
+    # (gated: mobilenetv2's per-element gradient noise through 53 tiny-n BN
+    # backward chains is a few % of its huge stem gradients, so per-leaf
+    # state equality is meaningless there even after one step)
     if stable:
-        after = import_torch_state_dict(family, tm.state_dict(), target_vars)
+        after1 = import_torch_state_dict(family, t_sd1, target_vars)
+        p1, s1 = f_state1
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=5e-2, atol=2e-2
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-3
             ),
-            after["params"], params,
+            after1["params"], p1,
         )
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=0.25, atol=2e-2
-            ),
-            after["batch_stats"], stats,
+
+        def stats_close(path, a, b):
+            leaf = str(path[-1].key)
+            # 'mean' EMAs are convention-identical; 'var' EMAs carry the
+            # torch-unbiased/flax-biased batch-variance factor (PARITY.md):
+            # |diff| <= 0.1 * batch_var / (n-1), ~12% worst case at n=8
+            rtol = 5e-2 if leaf == "mean" else 0.12
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-2
+            )
+
+        jax.tree_util.tree_map_with_path(
+            stats_close, after1["batch_stats"], s1
         )
