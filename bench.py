@@ -107,7 +107,7 @@ def real_input_bench(n_images=None, batch=None):
     # needed downscaled) at decode time, minimizing host->device bytes —
     # on this rig the tunnel (~22 MB/s effective) and the single host core
     # (~660 img/s cv2 JPEG decode) are the binding constraints, not TPU
-    # compute (9.6k img/s device-resident)
+    # compute (13.2k img/s device-resident)
     loader = DataLoader(cfg, "test", batch_size=B, num_workers=16,
                         canvas_hw=(SIZE, SIZE), drop_last=True)
 
@@ -120,12 +120,14 @@ def real_input_bench(n_images=None, batch=None):
                 variables, b["img"], b["center"], b["scale"]
             )
             last = (preds, maxvals)
-            if bi == 1:
+            if bi <= 1:
                 # first two batches carry compile + cache warmup; start the
-                # clock after materializing them
-                np.asarray(last[0])
-                t_start = time.time()
-                n_imgs = 0
+                # clock after materializing them, and keep them OUT of the
+                # image count (their work predates t_start)
+                if bi == 1:
+                    np.asarray(last[0])
+                    t_start = time.time()
+                continue
             n_imgs += B
         coords = np.asarray(last[0])  # full host materialization = sync
         assert np.isfinite(coords).all()

@@ -164,6 +164,14 @@ class DevicePipeline:
         self.unbiased = bool(p.get("unbiased_encoding", False))
         self.encoding = p.get("encoding", "MSRA")
         self.simdr_split_ratio = int(p.get("simdr_split_ratio", 0) or 0)
+        if self.multiscale and self.simdr_split_ratio > 0:
+            # the SimDR branch reads the single-scale per-joint weights and
+            # a scalar sigma; no reference config combines it with
+            # SRHandNet-style multi-scale targets either
+            raise ValueError(
+                "simdr_split_ratio > 0 is not supported with multi-scale "
+                "heatmap_size (nested lists)"
+            )
         self.hsv = bool(is_train)
         self._fn = jax.jit(self._build())
 

@@ -12,6 +12,7 @@ fused device pipeline.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 from typing import Iterator, Optional
 
 import jax
@@ -67,7 +68,9 @@ def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
 
 def _decode_image(path: str):
     """Decode RGB uint8; cv2 when available (faster and releases the GIL,
-    so the thread pool actually parallelizes), PIL otherwise."""
+    so the thread pool actually parallelizes), PIL otherwise. Both paths
+    honor the EXIF Orientation tag (cv2.imread applies it by default; PIL
+    needs exif_transpose) — reference semantics, mmcv/cv2 loading."""
     try:
         import cv2
 
@@ -77,13 +80,30 @@ def _decode_image(path: str):
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except ImportError:
         pass
-    from PIL import Image
+    from PIL import Image, ImageOps
 
     try:
         with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), np.uint8)
+            return np.asarray(
+                ImageOps.exif_transpose(im).convert("RGB"), np.uint8
+            )
     except (FileNotFoundError, OSError):
         return None
+
+
+@functools.lru_cache(maxsize=1_000_000)
+def _exif_oriented(path: str) -> bool:
+    """True if the file carries an EXIF Orientation tag != 1. cv2 (and the
+    reference's mmcv loading) applies the tag; the native libjpeg ROI
+    decoder does not — such files must take the cv2/PIL fallback or every
+    joint lands on rotated pixels. Header-only PIL read, cached per path."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return im.getexif().get(0x0112, 1) != 1
+    except Exception:
+        return False
 
 
 def _resize_u8(arr, nw: int, nh: int):
@@ -101,29 +121,57 @@ def _resize_u8(arr, nw: int, nh: int):
 
 def prefetch_iter(gen, size: int = 2):
     """Run `gen` in a background thread, keeping up to `size` items ready —
-    overlaps host JPEG decode with device compute (double buffering)."""
+    overlaps host JPEG decode with device compute (double buffering).
+
+    Abandoning this iterator (break / exception / GC) shuts the worker
+    down: the finally block sets `stop` and drains the queue so a blocked
+    put() wakes up, and the worker closes `gen` so resources held inside
+    it (the decode thread pool) are released rather than leaked."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """put() that gives up when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for item in gen:
-                q.put(item)
-            q.put(END)
-        except BaseException as e:  # surface errors on the consumer side
-            q.put(e)
+            try:
+                for item in gen:
+                    if not put(item):
+                        return
+                put(END)
+            except BaseException as e:  # surface errors on the consumer side
+                put(e)
+        finally:
+            gen.close()
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class DataLoader:
@@ -211,6 +259,13 @@ class DataLoader:
                 centers, halves.astype(np.float32),
                 n_threads=self.num_workers,
             )
+            # EXIF-rotated files decode "fine" natively but in the wrong
+            # orientation — force them onto the cv2/PIL path
+            oriented = np.fromiter(
+                (_exif_oriented(r["image_file"]) for r in records), bool,
+                count=len(records),
+            )
+            status = status | oriented
             if (status == 0).all():
                 return list(canv), off.astype(np.float32), fsc.astype(np.float32)
             for i in np.nonzero(status)[0]:

@@ -119,7 +119,10 @@ int decode_one(const Job& job, int H0, int W0) {
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_message;
-  std::vector<uint8_t> roi_buf;  // declared before setjmp (dtor safety)
+  // declared before setjmp: error_exit longjmps over this scope, which
+  // would skip the destructors (UB + leak) of anything constructed after
+  std::vector<uint8_t> roi_buf;
+  std::vector<uint8_t> spill;  // direct-mode rows wider than the canvas
 
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
@@ -237,7 +240,6 @@ int decode_one(const Job& job, int H0, int W0) {
   }
 
   if (sy0 > 0) jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(sy0));
-  std::vector<uint8_t> spill;  // rows wider than the canvas in direct mode
   const int lpad = static_cast<int>(crop_x) - (direct ? x0 : sx0);
   int row = 0;
   while (row < srh &&

@@ -139,10 +139,13 @@ def main(argv=None):
 
         saver = SaveResultImages(loader.dataset, args.vis_dir)
         last = results[-1]
+        hm_size = cfg.DATASET.heatmap_size
+        if hm_size and isinstance(hm_size[0], (list, tuple)):
+            hm_size = hm_size[-1]  # multi-scale (SRHandNet): finest scale
         saver.save_images_with_joints(
             batch["img"], last["hm_preds"] * (
                 np.asarray(cfg.DATASET.image_size)[None, None]
-                / np.asarray(cfg.DATASET.heatmap_size)[None, None]
+                / np.asarray(hm_size)[None, None]
             ),
             None, name="pred_joints.png",
         )

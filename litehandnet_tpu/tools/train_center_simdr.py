@@ -120,10 +120,14 @@ def main(argv=None):
     best_pck = 0.0
     train_keys = ("img", "target", "target_weight", "simdr_x", "simdr_y")
 
+    val_loader = None  # built lazily on first eval
+
     for epoch in range(total_epochs):
         agg, n = {}, 0
         for raw in loader.batches(epoch):
-            key, k1, k2 = jax.random.split(key, 3)
+            # distinct keys for the main step, the cd pipeline's
+            # augmentation draws, and the cd step's dropout
+            key, k1, k2, k3 = jax.random.split(key, 4)
             batch_main = {k: raw[k] for k in train_keys if k in raw}
             state, metrics = step_fn(state, batch_main, k1)
             n += 1
@@ -151,17 +155,64 @@ def main(argv=None):
                 cd_train = {
                     k: cd_batch[k] for k in train_keys if k in cd_batch
                 }
-                state, cd_metrics = cd_step_fn(state, cd_train, k2)
+                state, cd_metrics = cd_step_fn(state, cd_train, k3)
                 agg["cd_loss"] = agg.get("cd_loss", 0.0) + float(
                     cd_metrics["loss"]
                 )
         agg = {k: v / max(n, 1) for k, v in agg.items()}
         logger.log(epoch, agg, prefix="train/")
+        eval_interval = int(cfg.EVAL.get("interval", 1) or 1)
+        if is_chief() and (epoch + 1) % eval_interval == 0:
+            if val_loader is None:
+                val_loader = DataLoader(
+                    cfg, "val", batch_size=batch, num_workers=args.workers,
+                    seed=args.seed, drop_last=False,
+                )
+            pck = evaluate_multihand_pck(model, state, val_loader, parser_)
+            logger.log(epoch, {"pck": pck}, prefix="val/")
+            # reference gates the best checkpoint on an improved PCK
+            # (save_model, train_distributed_center_simdr_freihand.py:304-329;
+            # its absolute >85 floor only matters at convergence)
+            if pck > best_pck:
+                best_pck = pck
+                ckpt.save(state, epoch, best=True)
         if is_chief():
-            print(f"epoch {epoch}: {agg}", flush=True)
+            print(f"epoch {epoch}: {agg} best_pck={best_pck:.4f}", flush=True)
             ckpt.save(state, epoch, best=False)
     logger.close()
     return state
+
+
+def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50):
+    """Reference Gen-1 test() (:240-278): bboxes decoded from the last
+    stack's region maps, per-bbox keypoint extraction, multi-hand
+    coordinate PCK vs ground truth — all in crop space."""
+    import jax.numpy as jnp
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pcks = []
+    for bi, raw in enumerate(loader.batches(0)):
+        if bi >= max_batches:
+            break
+        out = model.apply(variables, jnp.asarray(raw["img"]), train=False)
+        hm_list = out[0] if isinstance(out, tuple) else out
+        hm = np.asarray(hm_list[-1])
+        boxes = parser_.get_pred_bbox(hm[..., -3:])
+        kpts = parser_.get_group_keypoints(
+            np.asarray(raw["img"]), hm[..., :-3], boxes
+        )
+        gt_j = np.asarray(raw["joints"])          # [B, K, 2] crop coords
+        gt_vis = np.asarray(raw["target_weight"])[:, : gt_j.shape[1]]
+        gt_kpts = np.concatenate(
+            [gt_j, gt_vis[..., None]], axis=-1
+        )[:, None]                                # [B, 1, K, 3] single hand
+        bb = np.asarray(raw["bbox"])              # [B, 4] xywh crop coords
+        gt_boxes = np.stack(
+            [bb[:, 0] + bb[:, 2] / 2, bb[:, 1] + bb[:, 3] / 2,
+             bb[:, 2], bb[:, 3]], axis=-1,
+        )[:, None]                                # [B, 1, 4] cxcywh
+        pcks.append(parser_.evaluate_pck(kpts, gt_kpts, gt_boxes))
+    return float(np.mean(pcks)) if pcks else 0.0
 
 
 def _raw_images(raw):

@@ -188,3 +188,46 @@ def test_dataloader_native_matches_python(imgdir, tmp_path):
         b_nat["img_raw"].astype(np.float32) - b_py["img_raw"].astype(np.float32)
     )
     assert d.mean() < 3.0
+
+
+def test_exif_orientation_routes_to_fallback(imgdir, tmp_path):
+    """EXIF-rotated JPEGs must decode in DISPLAY orientation everywhere:
+    cv2 honors the Orientation tag, the native libjpeg decoder does not, so
+    the loader must detect the tag and route such files to the fallback
+    (regression: the native path silently returned unrotated pixels with
+    intact annotations)."""
+    from PIL import Image
+
+    from litehandnet_tpu.data.loader import (
+        _decode_image, _exif_oriented, _load_image,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, (32, 64, 3), np.uint8)  # landscape 64x32
+    path = tmp_path / "oriented.jpg"
+    im = Image.fromarray(arr)
+    exif = im.getexif()
+    exif[0x0112] = 6  # rotate 90 CW to display
+    im.save(path, exif=exif, quality=95)
+    plain = tmp_path / "plain.jpg"
+    im.save(plain, quality=95)
+
+    assert _exif_oriented(str(path)) is True
+    assert _exif_oriented(str(plain)) is False
+
+    decoded = _decode_image(str(path))
+    assert decoded.shape[:2] == (64, 32)  # displayed portrait
+
+    # the full loader path must agree with the display orientation
+    canvas, off, fsc = _load_image(str(path), (96, 96))
+    assert (canvas[:64, :32] > 0).any()
+    assert not canvas[:, 40:].any()  # nothing beyond the 32-px width
+
+    # and the batch decoder must NOT trust the native result for this file
+    from litehandnet_tpu.data import loader as loader_mod
+
+    oriented = np.fromiter(
+        (loader_mod._exif_oriented(p) for p in [str(path), str(plain)]),
+        bool, count=2,
+    )
+    assert oriented.tolist() == [True, False]
