@@ -87,6 +87,85 @@ def bench_model(name: str, size: int, batch: int, bf16: bool, reps: int = 30):
     return rows
 
 
+def bench_train_step(name: str, size: int, batch: int, bf16: bool,
+                     reps: int = 20):
+    """Training throughput: full jitted train step (forward + backward + BN
+    updates + Adam) on one chip. Steps are dependency-chained with ONE final
+    host sync — per-step syncs measure the tunnel round-trip, not the TPU
+    (and identical repeated calls can be served from the remote execution
+    cache, so the input varies per step via the PRNG fold)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from litehandnet_tpu.config import config_from_dict
+    from litehandnet_tpu.losses import get_loss
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.train import TrainState, make_mesh, make_train_step
+
+    hm = size // 4
+    cfg = config_from_dict(dict(
+        MODEL=dict(name=name, output_channel=21),
+        DATASET=dict(num_joints=21, image_size=[size, size],
+                     heatmap_size=[hm, hm]),
+        PIPELINE=dict(simdr_split_ratio=0),
+        LOSS=dict(type="TopdownHeatmapLoss", loss_weight=[1.0],
+                  auto_weight=False),
+    ))
+    dtype = jnp.bfloat16 if bf16 else None
+    model = get_model(cfg, dtype=dtype)
+    crit = get_loss(cfg)
+    tx = optax.adam(1e-3)
+    step = make_train_step(model, crit, tx, make_mesh(1))
+
+    small = jnp.zeros((1, 64, 64, 3), dtype or jnp.float32)
+    mv = jax.jit(lambda k: model.init(k, small, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    cv = crit.init(
+        jax.random.PRNGKey(1), jnp.zeros((batch, hm, hm, 21)),
+        {"target": jnp.zeros((batch, hm, hm, 21)),
+         "target_weight": jnp.ones((batch, 21))},
+    )
+    state = TrainState.create(mv, cv, tx)
+    rng = np.random.RandomState(0)
+    b = {
+        "img": jnp.asarray(
+            rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+        ),
+        "target": jnp.asarray(
+            rng.uniform(0, 1, (batch, hm, hm, 21)).astype(np.float32)
+        ),
+        "target_weight": jnp.ones((batch, 21)),
+    }
+    key = jax.random.PRNGKey(2)
+
+    # run all steps inside ONE dispatch (lax.scan): over the remote-TPU
+    # tunnel a per-step Python dispatch costs ~10-20 ms of round trip,
+    # which would dominate a ~50 ms step
+    @jax.jit
+    def run(state, key):
+        def body(st, i):
+            st, metrics = step(st, b, jax.random.fold_in(key, i))
+            return st, metrics["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(reps))
+
+    _, losses = run(state, key)  # compile
+    np.asarray(losses)
+    # fresh key: identical repeated calls can be served from the remote
+    # execution cache and time as a no-op
+    t0 = time.time()
+    _, losses = run(state, jax.random.fold_in(key, 999))
+    np.asarray(losses)
+    dt = (time.time() - t0) / reps
+    return dict(
+        ms_per_step=round(dt * 1e3, 2),
+        train_img_per_sec=round(batch / dt, 1),
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--models", nargs="+", default=DEFAULT_MODELS)
@@ -94,9 +173,23 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--reps", type=int, default=30)
+    parser.add_argument("--train", action="store_true",
+                        help="measure the full train step instead of the "
+                             "inference forward")
     args = parser.parse_args(argv)
 
     results = {}
+    if args.train:
+        for name in args.models:
+            try:
+                results[name] = bench_train_step(
+                    name, args.size, args.batch, args.bf16,
+                    min(args.reps, 20),
+                )
+                print(f"{name}: {json.dumps(results[name])}", flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+        return results
     for name in args.models:
         try:
             results[name] = bench_model(
