@@ -197,18 +197,24 @@ def main():
     center = jnp.tile(jnp.float32([SIZE / 2, SIZE / 2]), (B, 1))
     scale = jnp.tile(jnp.float32([SIZE / 200.0, SIZE / 200.0]), (B, 1))
 
-    def one_step(v, raw_u8):
+    def one_step(v, raw_u8, bump):
         img = (raw_u8.astype(jnp.float32) - mean) / std      # preprocess
         hm = model.apply(v, img.astype(jnp.bfloat16), train=False)
         _, preds, maxvals = keypoints_from_heatmaps(         # decode (DARK)
-            hm, center, scale, post_process="unbiased", kernel=11
+            # nano-perturbed center keeps every call's arguments AND
+            # computation distinct at zero measurable cost
+            hm, center + bump * 1e-9, scale, post_process="unbiased",
+            kernel=11,
         )
         return preds, maxvals
 
     @jax.jit
-    def pipeline(v, stack):
+    def pipeline(v, stack, bump):
+        # `bump` makes every call's arguments distinct: identical repeated
+        # calls can be served from the tunnel's remote execution cache and
+        # time as a no-op (PROFILE.md).
         def body(i, acc):
-            preds, maxvals = one_step(v, stack[i])
+            preds, maxvals = one_step(v, stack[i], bump)
             return acc + preds.sum() + maxvals.sum()
         return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
 
@@ -224,13 +230,16 @@ def main():
     )
     variables = jax.device_put(variables, replicated)
 
-    # warm up / compile
-    float(pipeline(variables, stack))
+    # compile + warm (first run of a fresh executable is up to ~4x
+    # steady state, PROFILE.md)
+    for w in range(2):
+        float(pipeline(variables, stack, jnp.float32(100 + w)))
 
     reps = 3
     t0 = time.time()
-    for _ in range(reps):
-        result = float(pipeline(variables, stack))  # materialize = sync
+    for r in range(reps):
+        # materialize = sync; distinct bump per rep defeats the exec cache
+        result = float(pipeline(variables, stack, jnp.float32(r)))
     dt = (time.time() - t0) / reps
     imgs_per_sec = M * B / dt / n_dev  # per chip
 
