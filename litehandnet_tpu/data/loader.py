@@ -96,13 +96,49 @@ def _exif_oriented(path: str) -> bool:
     """True if the file carries an EXIF Orientation tag != 1. cv2 (and the
     reference's mmcv loading) applies the tag; the native libjpeg ROI
     decoder does not — such files must take the cv2/PIL fallback or every
-    joint lands on rotated pixels. Header-only PIL read, cached per path."""
+    joint lands on rotated pixels. Pure-Python JPEG APP1 scan (no PIL
+    dependency: a missing import here would silently re-introduce the
+    wrong-orientation bug), reads a few KB, cached per path."""
     try:
-        from PIL import Image
+        with open(path, "rb") as f:
+            if f.read(2) != b"\xff\xd8":  # not a JPEG (PNG etc.)
+                return False
+            while True:
+                head = f.read(4)
+                if len(head) < 4 or head[0] != 0xFF:
+                    return False
+                marker, seglen = head[1], (head[2] << 8) | head[3]
+                if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 seen
+                    return False
+                if marker != 0xE1:
+                    f.seek(seglen - 2, 1)
+                    continue
+                seg = f.read(seglen - 2)
+                if not seg.startswith(b"Exif\x00\x00"):
+                    continue
+                tiff = seg[6:]
+                if len(tiff) < 8:
+                    return False
+                big = tiff[:2] == b"MM"
+                import struct
 
-        with Image.open(path) as im:
-            return im.getexif().get(0x0112, 1) != 1
-    except Exception:
+                fmt = ">" if big else "<"
+                ifd0 = struct.unpack(fmt + "I", tiff[4:8])[0]
+                if ifd0 + 2 > len(tiff):
+                    return False
+                n = struct.unpack(fmt + "H", tiff[ifd0:ifd0 + 2])[0]
+                for i in range(n):
+                    off = ifd0 + 2 + 12 * i
+                    if off + 12 > len(tiff):
+                        return False
+                    tag = struct.unpack(fmt + "H", tiff[off:off + 2])[0]
+                    if tag == 0x0112:
+                        val = struct.unpack(
+                            fmt + "H", tiff[off + 8:off + 10]
+                        )[0]
+                        return val not in (0, 1)
+                return False
+    except OSError:
         return False
 
 
@@ -260,10 +296,13 @@ class DataLoader:
                 n_threads=self.num_workers,
             )
             # EXIF-rotated files decode "fine" natively but in the wrong
-            # orientation — force them onto the cv2/PIL path
+            # orientation — force them onto the cv2/PIL path (checked on
+            # the thread pool: the header reads are tiny but serial I/O on
+            # the producer thread would sit on the critical path)
             oriented = np.fromiter(
-                (_exif_oriented(r["image_file"]) for r in records), bool,
-                count=len(records),
+                pool.map(_exif_oriented,
+                         [r["image_file"] for r in records]),
+                bool, count=len(records),
             )
             status = status | oriented
             if (status == 0).all():
@@ -373,6 +412,10 @@ class DataLoader:
             batch["img_raw"] = raw["img_raw"]
             batch["joints_src"] = raw["joints"]
             batch["vis_src"] = raw["vis"]
+            if "bbox" in out:
+                # the pipeline's bbox is in CROP space (region-map configs);
+                # keep it addressable before "bbox" reverts to source coords
+                batch["bbox_crop"] = out["bbox"]
             batch["bbox"] = raw["bbox"]
             # canvas geometry, for second-pass consumers (cycle detection)
             # that re-crop img_raw with fresh centers/scales

@@ -187,8 +187,7 @@ def main(argv=None):
         for name in args.models:
             try:
                 results[name] = bench_train_step(
-                    name, args.size, args.batch, args.bf16,
-                    min(args.reps, 20),
+                    name, args.size, args.batch, args.bf16, args.reps
                 )
                 print(f"{name}: {json.dumps(results[name])}", flush=True)
             except Exception as e:

@@ -206,7 +206,9 @@ def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50):
         gt_kpts = np.concatenate(
             [gt_j, gt_vis[..., None]], axis=-1
         )[:, None]                                # [B, 1, K, 3] single hand
-        bb = np.asarray(raw["bbox"])              # [B, 4] xywh crop coords
+        # CROP-space bbox (the pipeline's); raw["bbox"] is source-image
+        # coords, the wrong frame for crop-space keypoints
+        bb = np.asarray(raw["bbox_crop"])         # [B, 4] xywh crop coords
         gt_boxes = np.stack(
             [bb[:, 0] + bb[:, 2] / 2, bb[:, 1] + bb[:, 3] / 2,
              bb[:, 2], bb[:, 3]], axis=-1,
