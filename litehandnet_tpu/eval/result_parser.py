@@ -288,7 +288,10 @@ class ResultParser:
                 vis_mask = pred[:, 2] > 0
                 if vis_mask.sum() == 0:
                     continue
-                center = pred[vis_mask, :2].mean(axis=0)
+                # reference quirk kept: the center sums ALL joint coords but
+                # divides by the VISIBLE count (result_parser.py:372 —
+                # kpts[:,:,:2].sum(dim=1) / num_vis_joints)
+                center = pred[:, :2].sum(axis=0) / vis_mask.sum()
                 d2 = ((boxes[:, :2] - center) ** 2).sum(axis=1)
                 j = int(np.argmin(d2))
                 gt = gk[j]

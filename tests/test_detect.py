@@ -154,3 +154,42 @@ def test_cycle_detection_reinfers_small_hands(rng):
     kpts = parser.get_group_keypoints(images, kpt_hm[None], boxes)
     assert calls, "cycle detection never invoked the secondary model"
     assert kpts.shape[2:] == (21, 3)
+
+
+def test_multihand_pck_parity_with_reference(rng):
+    """evaluate_pck must match the reference bit-for-bit, including its
+    quirks: centers sum ALL joint coords but divide by the VISIBLE count,
+    and the PCK threshold normalizes by max(cx, cy) of the matched gt box
+    (result_parser.py:356-399 passes bbox[min_idx, :2] where its comment
+    says w,h)."""
+    if not ref_loader.reference_available():
+        pytest.skip("reference absent")
+    torch = pytest.importorskip("torch")
+    import sys, types
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    ref_loader.ensure_reference_importable()
+    ref = ref_loader._load("utils/result_parser.py", "_ref_result_parser")
+
+    B, M, K = 3, 4, 21
+    pred = rng.uniform(0, 200, size=(B, M, K, 3)).astype(np.float32)
+    gt = rng.uniform(0, 200, size=(B, M, K, 3)).astype(np.float32)
+    # realistic visibility: some joints invisible, one hand slot empty
+    pred[..., 2] = (rng.uniform(size=(B, M, K)) > 0.2).astype(np.float32)
+    gt[..., 2] = (rng.uniform(size=(B, M, K)) > 0.2).astype(np.float32)
+    pred[1, 3, :, 2] = 0.0
+    boxes = rng.uniform(20, 220, size=(B, M, 4)).astype(np.float32)
+
+    # the reference method only needs self-free tensor math; call it unbound
+    ref_pck = ref.ResultParser.evaluate_pck(
+        None, torch.from_numpy(pred), torch.from_numpy(gt),
+        torch.from_numpy(boxes),
+    )
+
+    cfg = config_from_dict(dict(
+        MODEL=dict(name="mynet_stacked"),
+        DATASET=dict(num_joints=K, image_size=[256, 256],
+                     heatmap_size=[64, 64]),
+    ))
+    ours = ResultParser(cfg, cd_enabled=False).evaluate_pck(pred, gt, boxes)
+    np.testing.assert_allclose(ours, ref_pck, rtol=1e-6)
