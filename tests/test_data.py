@@ -223,3 +223,34 @@ def test_eval_roundtrip_large_offcanvas_bbox(tiny_large_onehand):
     metrics = loader.dataset.evaluate(results, metric=["PCK", "AUC", "EPE"])
     assert metrics["PCK"] == 1.0, metrics
     assert metrics["EPE"] < 2.0, metrics
+
+
+def test_prefetch_abandon_shuts_down_worker():
+    """Abandoning a prefetch_iter (break / close) must stop the background
+    worker and close the source generator so resources held inside it (the
+    decode thread pool) are released (regression: the worker blocked on
+    q.put forever)."""
+    import time
+
+    from litehandnet_tpu.data.loader import prefetch_iter
+
+    closed = []
+
+    def gen():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            closed.append(True)
+
+    g = gen()
+    it = prefetch_iter(g, size=2)
+    assert next(it) == 0
+    it.close()  # abandon mid-stream
+    for _ in range(50):  # worker exits within its 0.2 s put timeout
+        if closed:
+            break
+        time.sleep(0.1)
+    assert closed, "source generator was not closed on abandonment"
