@@ -272,6 +272,15 @@ class DevicePipeline:
                     targets.append(t)
                     weights.append(w)
                 target, weight = targets, weights
+            elif len(sigmas) > 1:
+                # stacked-sigma (hourglass intermediate supervision,
+                # reference generateTarget.py:252-292): one [H, W, K] map
+                # per sigma, stacked to [S, H, W, K] to match the model's
+                # [B, S, H, W, K] output; visibility is sigma-independent
+                # so the weight stays [K]
+                pairs = [encode_at(self.heatmap_size, s) for s in sigmas]
+                target = jnp.stack([t for t, _ in pairs])
+                weight = pairs[0][1]
             else:
                 target, weight = encode_at(self.heatmap_size, sigmas[0])
             out = dict(
@@ -322,6 +331,10 @@ class DevicePipeline:
                         bbox_c, self.image_size, self.heatmap_size, sig0,
                         encoding=self.encoding,
                     )
+                    if target.ndim == 4:  # stacked-sigma [S, H, W, K]
+                        rmap = jnp.broadcast_to(
+                            rmap, target.shape[:1] + rmap.shape
+                        )
                     target = jnp.concatenate([target, rmap], axis=-1)
                     weight = jnp.concatenate([weight, jnp.ones(3)], axis=0)
                 out.update(target=target, target_weight=weight, bbox=bbox_c)

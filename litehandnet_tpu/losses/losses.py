@@ -56,6 +56,12 @@ def distance_loss(
         target_weight: [B, K].
     """
     crit = _CRITERIA[loss_type.lower()]
+    if output.ndim == 5 and target.ndim == 4:
+        # stacked model + single-sigma target: expand EXPLICITLY over the
+        # stack dim (the implicit right-aligned broadcast would pair the
+        # target's batch dim with the output's stack dim — an error for
+        # B != S and silently wrong when B == S)
+        target = target[:, None]
     loss = crit(output, target)
     if loss.ndim == 5:
         # stacked hourglass [B, S, H, W, K]: the target broadcasts over the

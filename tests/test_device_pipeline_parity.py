@@ -170,3 +170,41 @@ def test_pixels_and_joints_share_one_matrix(rng, use_udp):
         assert patch.max() > 50.0 * (i + 1) - 15.0, (
             f"joint {i}: marker not under warped coord ({x:.1f},{y:.1f})"
         )
+
+
+def test_stacked_sigma_targets(rng):
+    """sigma=[s1, s2] (hourglass intermediate supervision, reference
+    generateTarget.py:252-292) must yield STACKED targets [B, S, H, W, K]
+    whose slices equal the corresponding single-sigma encodes (regression:
+    the device pipeline silently used sigma[0] only, so stacked-hourglass
+    configs trained each stack on the wrong target shape)."""
+    import jax
+
+    from litehandnet_tpu.data.device_pipeline import DevicePipeline
+
+    img, center, scale, joints = _make_sample(rng)
+
+    def build(sigma):
+        cfg = config_from_dict(dict(
+            DATASET=dict(num_joints=K, image_size=[W, H],
+                         heatmap_size=[16, 16]),
+            PIPELINE=dict(flip_prob=0, rot_prob=0, rot_factor=0,
+                          scale_factor=0, sigma=sigma, encoding="MSRA",
+                          use_udp=False, unbiased_encoding=False),
+        ))
+        pipe = DevicePipeline(cfg, list(range(K)), is_train=False)
+        return pipe(
+            img.astype(np.uint8)[None], joints[None],
+            np.ones((1, K), np.float32), center[None], scale[None],
+            np.float32([0.0]), jax.random.PRNGKey(0),
+        )
+
+    stacked = build([2, 3])
+    assert np.asarray(stacked["target"]).shape == (1, 2, 16, 16, K)
+    assert np.asarray(stacked["target_weight"]).shape == (1, K)
+    for i, s in enumerate((2, 3)):
+        single = build(s)
+        np.testing.assert_allclose(
+            np.asarray(stacked["target"])[:, i],
+            np.asarray(single["target"]), atol=1e-6,
+        )

@@ -167,3 +167,30 @@ def test_topdown_heatmap_loss_module(rng):
     (loss, loss_dict) = crit.apply(variables, out, batch)
     assert np.isfinite(float(loss))
     assert set(loss_dict) == {"heatmap", "simdr"}
+
+
+def test_distance_loss_stacked_output_single_target(rng):
+    """A stacked [B, S, H, W, K] output against a single-sigma [B, H, W, K]
+    target must supervise EVERY stack with that target (regression: the
+    implicit right-aligned broadcast paired the target's batch dim with the
+    output's stack dim — an error for B != S, silently wrong at B == S)."""
+    B, S, Hh, Ww, Kk = 4, 2, 8, 8, 3
+    out = rng.uniform(0, 1, size=(B, S, Hh, Ww, Kk)).astype(np.float32)
+    tgt = rng.uniform(0, 1, size=(B, Hh, Ww, Kk)).astype(np.float32)
+    w = np.ones((B, Kk), np.float32)
+
+    got = float(L.distance_loss(out, tgt, w, balance=False))
+    want = float(L.distance_loss(
+        out, np.repeat(tgt[:, None], S, axis=1), w, balance=False
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # B == S is the dangerous silent case: make sure it matches too
+    out_sq = rng.uniform(0, 1, size=(S, S, Hh, Ww, Kk)).astype(np.float32)
+    tgt_sq = rng.uniform(0, 1, size=(S, Hh, Ww, Kk)).astype(np.float32)
+    w_sq = np.ones((S, Kk), np.float32)
+    got = float(L.distance_loss(out_sq, tgt_sq, w_sq, balance=False))
+    want = float(L.distance_loss(
+        out_sq, np.repeat(tgt_sq[:, None], S, axis=1), w_sq, balance=False
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
