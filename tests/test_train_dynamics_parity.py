@@ -32,8 +32,14 @@ pytestmark = pytest.mark.skipif(
 # post-training per-leaf state comparison — mobilenetv2's stem gradients
 # are O(700)/element under the balanced loss, so 5 steps move its early
 # params chaotically and only the loss/gradient-level checks apply
+# all cases are `slow`: each costs ~40 s of torch+flax stepping, and the
+# default suite targets < 4 min for usable between-edit iteration
+# (pytest -m "" runs everything)
 CASES = [
-    ("config/resnet/_2_freihand2d_224x224_dark_resnet18.py", "resnet", True),
+    pytest.param(
+        "config/resnet/_2_freihand2d_224x224_dark_resnet18.py", "resnet",
+        True, marks=pytest.mark.slow,
+    ),
     pytest.param(
         "config/mobilenetv2/_1_freihand2d_224x224_dark.py", "mobilenetv2",
         False, marks=pytest.mark.slow,
