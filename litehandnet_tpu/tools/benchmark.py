@@ -105,13 +105,24 @@ def bench_train_step(name: str, size: int, batch: int, bf16: bool,
     from litehandnet_tpu.train import TrainState, make_mesh, make_train_step
 
     hm = size // 4
+    model_kw = dict(name=name, output_channel=21)
+    hm_size = [hm, hm]
+    loss_kw = dict(type="TopdownHeatmapLoss", loss_weight=[1.0],
+                   auto_weight=False)
+    if name == "srhandnet":
+        # 4 outputs at /16, /16, /8, /4 with 21 kpts + 1 center + 2 wh
+        # channels, trained with the multi-scale SRHandNetLoss
+        model_kw = dict(name=name, output_channel=24, pred_bbox=True)
+        hm_size = [[size // 16] * 2, [size // 16] * 2,
+                   [size // 8] * 2, [size // 4] * 2]
+        loss_kw = dict(type="SRHandNetLoss",
+                       loss_weight=[0.1, 0.2, 0.3, 0.4])
     cfg = config_from_dict(dict(
-        MODEL=dict(name=name, output_channel=21),
+        MODEL=model_kw,
         DATASET=dict(num_joints=21, image_size=[size, size],
-                     heatmap_size=[hm, hm]),
+                     heatmap_size=hm_size),
         PIPELINE=dict(simdr_split_ratio=0),
-        LOSS=dict(type="TopdownHeatmapLoss", loss_weight=[1.0],
-                  auto_weight=False),
+        LOSS=loss_kw,
     ))
     dtype = jnp.bfloat16 if bf16 else None
     model = get_model(cfg, dtype=dtype)
@@ -123,22 +134,33 @@ def bench_train_step(name: str, size: int, batch: int, bf16: bool,
     mv = jax.jit(lambda k: model.init(k, small, train=False))(
         jax.random.PRNGKey(0)
     )
-    cv = crit.init(
-        jax.random.PRNGKey(1), jnp.zeros((batch, hm, hm, 21)),
-        {"target": jnp.zeros((batch, hm, hm, 21)),
-         "target_weight": jnp.ones((batch, 21))},
-    )
-    state = TrainState.create(mv, cv, tx)
     rng = np.random.RandomState(0)
+    if name == "srhandnet":
+        target = [
+            jnp.asarray(
+                rng.uniform(0, 1, (batch, s[1], s[0], 24)).astype(np.float32)
+            )
+            for s in hm_size
+        ]
+        weight = jnp.ones((batch, 24))
+    else:
+        target = jnp.asarray(
+            rng.uniform(0, 1, (batch, hm, hm, 21)).astype(np.float32)
+        )
+        weight = jnp.ones((batch, 21))
     b = {
         "img": jnp.asarray(
             rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
         ),
-        "target": jnp.asarray(
-            rng.uniform(0, 1, (batch, hm, hm, 21)).astype(np.float32)
-        ),
-        "target_weight": jnp.ones((batch, 21)),
+        "target": target,
+        "target_weight": weight,
     }
+    zeros_like_t = jax.tree.map(jnp.zeros_like, target)
+    cv = crit.init(
+        jax.random.PRNGKey(1), zeros_like_t,
+        {"target": zeros_like_t, "target_weight": weight},
+    )
+    state = TrainState.create(mv, cv, tx)
     key = jax.random.PRNGKey(2)
 
     # run all steps inside ONE dispatch (lax.scan): over the remote-TPU
