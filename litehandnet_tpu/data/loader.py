@@ -12,7 +12,6 @@ fused device pipeline.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import functools
 from typing import Iterator, Optional
 
 import jax
@@ -67,79 +66,36 @@ def _load_image(path: str, canvas_hw, center=None, scale=None, margin=1.1):
 
 
 def _decode_image(path: str):
-    """Decode RGB uint8; cv2 when available (faster and releases the GIL,
-    so the thread pool actually parallelizes), PIL otherwise. Both paths
-    honor the EXIF Orientation tag (cv2.imread applies it by default; PIL
-    needs exif_transpose) — reference semantics, mmcv/cv2 loading."""
+    """Decode RGB uint8 in STORED-pixel orientation; cv2 when available
+    (faster and releases the GIL, so the thread pool actually parallelizes),
+    PIL otherwise.
+
+    Orientation convention (deliberate, reference semantics): the reference
+    loads via mmcv.imfrombytes -> cv2.imdecode
+    (datasets/data_pipeline/loading.py:38), which does NOT apply the EXIF
+    Orientation tag — annotations are authored in stored-pixel space. So
+    every decode path here (cv2, PIL, native libjpeg) stays in stored
+    orientation: cv2.imread gets IMREAD_IGNORE_ORIENTATION (plain imread
+    would rotate), PIL skips exif_transpose, and the native decoder needs
+    no EXIF routing at all."""
     try:
         import cv2
 
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        img = cv2.imread(
+            path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+        )
         if img is None:
             return None
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except ImportError:
         pass
-    from PIL import Image, ImageOps
+    from PIL import Image
 
     try:
         with Image.open(path) as im:
-            return np.asarray(
-                ImageOps.exif_transpose(im).convert("RGB"), np.uint8
-            )
+            return np.asarray(im.convert("RGB"), np.uint8)
     except (FileNotFoundError, OSError):
         return None
-
-
-@functools.lru_cache(maxsize=1_000_000)
-def _exif_oriented(path: str) -> bool:
-    """True if the file carries an EXIF Orientation tag != 1. cv2 (and the
-    reference's mmcv loading) applies the tag; the native libjpeg ROI
-    decoder does not — such files must take the cv2/PIL fallback or every
-    joint lands on rotated pixels. Pure-Python JPEG APP1 scan (no PIL
-    dependency: a missing import here would silently re-introduce the
-    wrong-orientation bug), reads a few KB, cached per path."""
-    try:
-        with open(path, "rb") as f:
-            if f.read(2) != b"\xff\xd8":  # not a JPEG (PNG etc.)
-                return False
-            while True:
-                head = f.read(4)
-                if len(head) < 4 or head[0] != 0xFF:
-                    return False
-                marker, seglen = head[1], (head[2] << 8) | head[3]
-                if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 seen
-                    return False
-                if marker != 0xE1:
-                    f.seek(seglen - 2, 1)
-                    continue
-                seg = f.read(seglen - 2)
-                if not seg.startswith(b"Exif\x00\x00"):
-                    continue
-                tiff = seg[6:]
-                if len(tiff) < 8:
-                    return False
-                big = tiff[:2] == b"MM"
-                import struct
-
-                fmt = ">" if big else "<"
-                ifd0 = struct.unpack(fmt + "I", tiff[4:8])[0]
-                if ifd0 + 2 > len(tiff):
-                    return False
-                n = struct.unpack(fmt + "H", tiff[ifd0:ifd0 + 2])[0]
-                for i in range(n):
-                    off = ifd0 + 2 + 12 * i
-                    if off + 12 > len(tiff):
-                        return False
-                    tag = struct.unpack(fmt + "H", tiff[off:off + 2])[0]
-                    if tag == 0x0112:
-                        val = struct.unpack(
-                            fmt + "H", tiff[off + 8:off + 10]
-                        )[0]
-                        return val not in (0, 1)
-                return False
-    except OSError:
-        return False
 
 
 def _resize_u8(arr, nw: int, nh: int):
@@ -295,16 +251,6 @@ class DataLoader:
                 centers, halves.astype(np.float32),
                 n_threads=self.num_workers,
             )
-            # EXIF-rotated files decode "fine" natively but in the wrong
-            # orientation — force them onto the cv2/PIL path (checked on
-            # the thread pool: the header reads are tiny but serial I/O on
-            # the producer thread would sit on the critical path)
-            oriented = np.fromiter(
-                pool.map(_exif_oriented,
-                         [r["image_file"] for r in records]),
-                bool, count=len(records),
-            )
-            status = status | oriented
             if (status == 0).all():
                 return list(canv), off.astype(np.float32), fsc.astype(np.float32)
             for i in np.nonzero(status)[0]:

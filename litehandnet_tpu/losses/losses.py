@@ -75,7 +75,12 @@ def distance_loss(
     loss = loss * w
 
     if balance:
-        pos = target > value
+        # broadcast the target to the FULL loss shape before counting:
+        # with a stacked output and a single-sigma target, counting
+        # positives on the unexpanded target would tally them once while
+        # numel includes the stack dim, inflating pos_factor ~S x relative
+        # to the equivalent list-sigma (stacked-target) config
+        pos = jnp.broadcast_to(target, loss.shape) > value
         numel = float(loss.size)
         n_pos = jnp.sum(pos)
         pos_factor = numel / (n_pos + 1.0) * 0.1

@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from litehandnet_tpu.models.layers import BatchNorm, Conv, adaptive_avg_pool
+from litehandnet_tpu.models.layers import (
+    BatchNorm, Conv, TorchBatchNorm, adaptive_avg_pool,
+)
 
 
 def soft_pool(x: jnp.ndarray, kernel: int = 2, stride: int = 2) -> jnp.ndarray:
@@ -248,7 +250,7 @@ class BAM(nn.Module):
         # channel gate
         g = jnp.mean(x, axis=(1, 2))
         g = nn.Dense(C // self.reduction, name="c_fc0")(g)
-        g = nn.BatchNorm(
+        g = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, name="c_bn0",
         )(g)
@@ -280,7 +282,7 @@ class NAMChannelAtt(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        bn = nn.BatchNorm(
+        bn = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, name="bn",
         )

@@ -97,6 +97,67 @@ class Conv(nn.Module):
         )(x)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-stat convention.
+
+    Differs from flax ``nn.BatchNorm`` in exactly one place: the running
+    variance EMAs the UNBIASED batch variance (x n/(n-1)), matching
+    ``torch.nn.BatchNorm2d`` — flax EMAs the biased one. Normalization in
+    train mode still uses the biased variance (both frameworks agree
+    there), so only eval-mode outputs after training see the difference
+    (<=n/(n-1), the "known accepted deviation" this module deletes from
+    PARITY.md). Variable collections/names match nn.BatchNorm
+    (params: scale, bias; batch_stats: mean, var) so checkpoints and
+    torch-import rules are unchanged. ``axis_name`` gives SyncBN semantics:
+    stats (and the unbiased n) are computed over the global batch.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        red = tuple(range(x.ndim - 1))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (C,),
+            jnp.float32,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (C,),
+            jnp.float32,
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            mean2 = jnp.mean(jnp.square(xf), axis=red)
+            n = x.size // C
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        # normalization arithmetic identical to flax nn.BatchNorm's
+        # _normalize (same op order => bit-identical forward)
+        dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        y = x.astype(dtype) - mean.astype(dtype)
+        mul = jax.lax.rsqrt(var.astype(dtype) + jnp.asarray(
+            self.epsilon, dtype)) * scale.astype(dtype)
+        return y * mul + bias.astype(dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults; axis_name enables SyncBN."""
 
@@ -105,7 +166,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

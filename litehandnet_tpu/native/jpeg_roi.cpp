@@ -274,9 +274,13 @@ int decode_one(const Job& job, int H0, int W0) {
 
   if (direct) {
     // drop the iMCU left margin (crop_x <= x0 requested) and zero everything
-    // beyond the true ROI width rw, matching Python's canvas[:h, :w] = roi
+    // beyond the true ROI width rw, matching Python's canvas[:h, :w] = roi.
+    // Spill rows (srw > W0) were already shifted + clipped during the
+    // scanline copy above — shifting them again would displace the image
+    // by the alignment offset (srw is constant per image, so either every
+    // row spilled or none did).
     const int keep = std::min(rw, W0);
-    if (lpad < 0) {
+    if (lpad < 0 && srw <= W0) {
       const int shift = -lpad;
       for (int yy = 0; yy < row; ++yy) {
         uint8_t* r = job.canvas + static_cast<size_t>(yy) * W0 * 3;

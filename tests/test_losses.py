@@ -179,18 +179,24 @@ def test_distance_loss_stacked_output_single_target(rng):
     tgt = rng.uniform(0, 1, size=(B, Hh, Ww, Kk)).astype(np.float32)
     w = np.ones((B, Kk), np.float32)
 
-    got = float(L.distance_loss(out, tgt, w, balance=False))
-    want = float(L.distance_loss(
-        out, np.repeat(tgt[:, None], S, axis=1), w, balance=False
-    ))
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # balance=True is the production default: the pos/neg counts must also
+    # see the expanded target, or pos_factor inflates ~S x vs the
+    # equivalent list-sigma (stacked-target) config
+    for balance in (False, True):
+        got = float(L.distance_loss(out, tgt, w, balance=balance))
+        want = float(L.distance_loss(
+            out, np.repeat(tgt[:, None], S, axis=1), w, balance=balance
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
 
     # B == S is the dangerous silent case: make sure it matches too
     out_sq = rng.uniform(0, 1, size=(S, S, Hh, Ww, Kk)).astype(np.float32)
     tgt_sq = rng.uniform(0, 1, size=(S, Hh, Ww, Kk)).astype(np.float32)
     w_sq = np.ones((S, Kk), np.float32)
-    got = float(L.distance_loss(out_sq, tgt_sq, w_sq, balance=False))
-    want = float(L.distance_loss(
-        out_sq, np.repeat(tgt_sq[:, None], S, axis=1), w_sq, balance=False
-    ))
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    for balance in (False, True):
+        got = float(L.distance_loss(out_sq, tgt_sq, w_sq, balance=balance))
+        want = float(L.distance_loss(
+            out_sq, np.repeat(tgt_sq[:, None], S, axis=1), w_sq,
+            balance=balance,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

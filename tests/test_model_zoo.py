@@ -162,3 +162,70 @@ def test_classifier():
     n, variables = _n_params(model, x)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 10)
+
+
+def test_torch_batchnorm_convention():
+    """TorchBatchNorm must reproduce torch.nn.BatchNorm2d EXACTLY after a
+    train step: normalization uses the biased batch variance, the running
+    var EMAs the UNBIASED one (x n/(n-1)) — the one place flax.nn.BatchNorm
+    deviates from torch (it EMAs the biased variance)."""
+    torch = pytest.importorskip("torch")
+
+    from litehandnet_tpu.models.layers import TorchBatchNorm
+
+    rng = np.random.RandomState(0)
+    B, H, W, C = 4, 5, 6, 7
+    x = rng.uniform(-2, 2, (B, H, W, C)).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(C, eps=1e-5, momentum=0.1)
+    tbn.train()
+    t_out = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    bn = TorchBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    f_out, mutated = bn.apply(
+        variables, jnp.asarray(x), mutable=["batch_stats"]
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(f_out).transpose(0, 3, 1, 2), t_out.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    # running stats bit-for-bit convention parity (torch tracks the
+    # unbiased variance; n = B*H*W per channel)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-6, atol=1e-7,
+    )
+
+    # eval mode consumes the stored stats identically
+    tbn.eval()
+    t_eval = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    bn_eval = TorchBatchNorm(use_running_average=True)
+    f_eval = bn_eval.apply(
+        {"params": variables["params"],
+         "batch_stats": mutated["batch_stats"]}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_eval).transpose(0, 3, 1, 2), t_eval.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # rank-2 input (torch BatchNorm1d analogue, used by BAM's channel gate)
+    x2 = rng.uniform(-2, 2, (8, C)).astype(np.float32)
+    tbn1 = torch.nn.BatchNorm1d(C, eps=1e-5, momentum=0.1)
+    tbn1.train()
+    t1 = tbn1(torch.from_numpy(x2))
+    v2 = bn.init(jax.random.PRNGKey(0), jnp.asarray(x2))
+    f1, mut2 = bn.apply(v2, jnp.asarray(x2), mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(f1), t1.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut2["batch_stats"]["var"]), tbn1.running_var.numpy(),
+        rtol=1e-6, atol=1e-7,
+    )

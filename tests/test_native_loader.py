@@ -105,6 +105,30 @@ def test_full_downscale(imgdir):
     )[0, 1] > 0.98
 
 
+def test_direct_spill_not_double_shifted(imgdir):
+    """Direct path with iMCU spill: full-scale ROI fits the canvas but the
+    alignment-widened crop (srw) exceeds the canvas width and x0 is not
+    iMCU-aligned. Regression: spill rows were shifted during the scanline
+    copy AND again by the post-loop fixup, displacing pixels left by the
+    alignment offset (up to 15 px) with status 0."""
+    # ROI x-window [5, 67): x0=5 is not a multiple of the 8/16-px iMCU
+    # width, rw=62 fits the 64-px canvas, but the aligned crop [0, 80)
+    # spills past it
+    half_target = 31.0
+    wx = (half_target - 4.0) * 2.0 / np.sqrt(2.0)
+    scale = np.float32([wx / 200.0, wx / 200.0])
+    (ref, roff, rsc), (nat, off, sc, st) = run_both(
+        imgdir / "small.jpg", (64, 64),
+        center=np.float32([36, 50]), scale=scale,
+    )
+    assert st == 0
+    np.testing.assert_array_equal(off, roff)
+    np.testing.assert_array_equal(sc, rsc)
+    assert off[0] % 8 != 0  # misaligned x0 — the case under test
+    d = np.abs(nat.astype(int) - ref.astype(int))
+    assert d.max() <= 8 and d.mean() < 0.1
+
+
 def test_grayscale_jpeg(imgdir):
     """Grayscale JPEGs decode natively (libjpeg converts to RGB)."""
     (ref, roff, rsc), (nat, off, sc, st) = run_both(
@@ -190,44 +214,38 @@ def test_dataloader_native_matches_python(imgdir, tmp_path):
     assert d.mean() < 3.0
 
 
-def test_exif_orientation_routes_to_fallback(imgdir, tmp_path):
-    """EXIF-rotated JPEGs must decode in DISPLAY orientation everywhere:
-    cv2 honors the Orientation tag, the native libjpeg decoder does not, so
-    the loader must detect the tag and route such files to the fallback
-    (regression: the native path silently returned unrotated pixels with
-    intact annotations)."""
+def test_exif_orientation_stored_pixels(imgdir, tmp_path):
+    """EXIF-rotated JPEGs decode in STORED orientation on every path —
+    reference semantics: mmcv.imfrombytes -> cv2.imdecode never applies the
+    Orientation tag (datasets/data_pipeline/loading.py:38), so annotations
+    live in stored-pixel space. cv2 (IMREAD_IGNORE_ORIENTATION), PIL
+    (no exif_transpose), and the native libjpeg decoder must all agree."""
     from PIL import Image
 
-    from litehandnet_tpu.data.loader import (
-        _decode_image, _exif_oriented, _load_image,
-    )
+    from litehandnet_tpu.data.loader import _decode_image, _load_image
 
     rng = np.random.RandomState(3)
     arr = rng.randint(0, 255, (32, 64, 3), np.uint8)  # landscape 64x32
     path = tmp_path / "oriented.jpg"
     im = Image.fromarray(arr)
     exif = im.getexif()
-    exif[0x0112] = 6  # rotate 90 CW to display
+    exif[0x0112] = 6  # display hint: rotate 90 CW — must be IGNORED
     im.save(path, exif=exif, quality=95)
-    plain = tmp_path / "plain.jpg"
-    im.save(plain, quality=95)
-
-    assert _exif_oriented(str(path)) is True
-    assert _exif_oriented(str(plain)) is False
 
     decoded = _decode_image(str(path))
-    assert decoded.shape[:2] == (64, 32)  # displayed portrait
+    assert decoded.shape[:2] == (32, 64)  # stored landscape, NOT rotated
 
-    # the full loader path must agree with the display orientation
+    # the full loader path stays in stored orientation
     canvas, off, fsc = _load_image(str(path), (96, 96))
-    assert (canvas[:64, :32] > 0).any()
-    assert not canvas[:, 40:].any()  # nothing beyond the 32-px width
+    assert (canvas[:32, :64] > 0).any()
+    assert not canvas[40:, :].any()  # nothing beyond the stored 32-px height
 
-    # and the batch decoder must NOT trust the native result for this file
-    from litehandnet_tpu.data import loader as loader_mod
-
-    oriented = np.fromiter(
-        (loader_mod._exif_oriented(p) for p in [str(path), str(plain)]),
-        bool, count=2,
+    # and the native batch decoder agrees with the Python path bit-for-bit
+    (ref, roff, rsc), (nat, noff, nsc, st) = run_both(
+        path, (96, 96), None, None
     )
-    assert oriented.tolist() == [True, False]
+    assert st == 0
+    np.testing.assert_array_equal(noff, roff)
+    np.testing.assert_array_equal(nsc, rsc)
+    d = np.abs(nat.astype(int) - ref.astype(int))
+    assert d.max() <= 2

@@ -225,16 +225,12 @@ def test_train_dynamics_parity(refcfg_path, family, stable, rng, monkeypatch):
             after1["params"], p1,
         )
 
-        def stats_close(path, a, b):
-            leaf = str(path[-1].key)
-            # 'mean' EMAs are convention-identical; 'var' EMAs carry the
-            # torch-unbiased/flax-biased batch-variance factor (PARITY.md):
-            # |diff| <= 0.1 * batch_var / (n-1), ~12% worst case at n=8
-            rtol = 5e-2 if leaf == "mean" else 0.12
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-2
-            )
-
-        jax.tree_util.tree_map_with_path(
-            stats_close, after1["batch_stats"], s1
+        # running mean AND var at the same tolerance: TorchBatchNorm EMAs
+        # the unbiased batch variance (torch convention), so no
+        # biased-vs-unbiased slack is needed anymore
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-2
+            ),
+            after1["batch_stats"], s1,
         )
