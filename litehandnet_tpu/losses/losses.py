@@ -348,8 +348,15 @@ class TopdownHeatmapLoss(nn.Module):
 
 class SRHandNetLoss(nn.Module):
     """Multi-scale loss over SRHandNet's 4 outputs: balanced MSE on the
-    21+1 keypoint/center channels + balanced SmoothL1 on the 2 w/h channels
-    (reference: loss/loss.py:7-66).
+    21+1 keypoint/center channels + a second balanced term on the 2 w/h
+    channels (reference: loss/loss.py:7-66).
+
+    Replicated quirk: the reference's ``self.smoothl1_loss`` is constructed
+    as ``DistanceLoss(reduction='mean')`` (loss/loss.py:16), which leaves
+    ``loss_type`` at its **'L2' default** (heatmapLoss.py:229) — so despite
+    the name, the w/h branch trains with MSE, and trained reference
+    checkpoints embody that. Verified numerically against the reference
+    criterion (tests/test_train_dynamics_parity.py srhandnet case).
     """
 
     loss_weight: Sequence[float] = (0.1, 0.2, 0.3, 0.4)
@@ -385,9 +392,8 @@ class SRHandNetLoss(nn.Module):
                     * self.loss_weight[i]
                 )
                 wh_loss += (
-                    distance_loss(
-                        out[..., nk:], t[..., nk:], w[..., nk:], "SmoothL1"
-                    )
+                    # "smoothl1_loss" reference-side is L2 (see class doc)
+                    distance_loss(out[..., nk:], t[..., nk:], w[..., nk:], "L2")
                     * self.loss_weight[i]
                 )
             return kpt_loss + wh_loss, {"kpt_loss": kpt_loss, "wh_loss": wh_loss}

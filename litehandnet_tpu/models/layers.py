@@ -136,14 +136,37 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=red)
-            mean2 = jnp.mean(jnp.square(xf), axis=red)
             n = x.size // C
-            if self.axis_name is not None and not self.is_initializing():
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            sync = self.axis_name is not None and not self.is_initializing()
+            if not sync:
+                # SHIFTED one-pass variance, matching torch numerics at
+                # two-pass accuracy and two-pass HBM cost avoided: naive
+                # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std
+                # (measured ~1e-3 relative train-mode forward error vs
+                # torch on randomized BN stats), while a true two-pass
+                # E[(x-mean)^2] costs an extra full read of the activations
+                # (measured 2.7 ms = 8% of the litehandnet train step).
+                # Shifting by one per-channel SAMPLE first makes the
+                # one-pass form stable: E[(x-c)^2]-E[x-c]^2 has relative
+                # error ~eps*(1 + (mean-c)^2/var) ~ eps, since a sample c
+                # sits within ~std of the mean. stop_gradient keeps
+                # autodiff identical to the unshifted form.
+                c = jax.lax.stop_gradient(
+                    xf[(0,) * (x.ndim - 1)].reshape(C)
+                )
+                xs = xf - c
+                m1 = jnp.mean(xs, axis=red)
+                m2 = jnp.mean(jnp.square(xs), axis=red)
+                mean = m1 + c
+                var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+            else:
+                # SyncBN: per-device shifts don't compose across pmean, so
+                # keep the plain two-pass (the collective dominates anyway)
+                mean = jax.lax.pmean(jnp.mean(xf, axis=red), self.axis_name)
                 n = n * jax.lax.psum(1, self.axis_name)
-            var = mean2 - jnp.square(mean)
+                var = jax.lax.pmean(
+                    jnp.mean(jnp.square(xf - mean), axis=red), self.axis_name
+                )
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum

@@ -189,41 +189,62 @@ class StageModule(nn.Module):
         if n == 1 or not self.with_fuse:
             return list(xs)
 
-        def fuse(j_src, i_dst, s):
+        def make_fuse(j_src, i_dst):
+            """Build the (j_src -> i_dst) fuse path ONCE; returns a callable
+            so it can be applied twice (module/param sharing)."""
             c_out = self.in_channels[i_dst]
             if j_src == i_dst:
-                return s
+                return lambda s: s
             if j_src > i_dst:  # upsample
-                s = Conv(
+                conv = Conv(
                     c_out, 1, use_bias=False, dtype=self.dtype,
                     name=f"fuse{i_dst}_{j_src}",
-                )(s)
-                s = BatchNorm(name=f"fuse{i_dst}_{j_src}_bn", **kw)(s, train)
-                h, w = s.shape[1:3]
-                factor = 2 ** (j_src - i_dst)
-                return resize_nearest(s, (h * factor, w * factor))
+                )
+                bn = BatchNorm(name=f"fuse{i_dst}_{j_src}_bn", **kw)
+
+                def up(s):
+                    s = bn(conv(s), train)
+                    h, w = s.shape[1:3]
+                    factor = 2 ** (j_src - i_dst)
+                    return resize_nearest(s, (h * factor, w * factor))
+
+                return up
             # downsample i_dst - j_src times
-            for k in range(i_dst - j_src):
-                last = k == i_dst - j_src - 1
-                s = HRDWConv(
-                    c_out if last else s.shape[-1], stride=2,
-                    mid_relu=False, last_relu=False,
+            downs = [
+                HRDWConv(
+                    c_out if k == i_dst - j_src - 1
+                    else self.in_channels[j_src],
+                    stride=2, mid_relu=False, last_relu=False,
                     name=f"fuse{i_dst}_{j_src}_{k}", **kw,
-                )(s, train)
-            return s
+                )
+                for k in range(i_dst - j_src)
+            ]
+
+            def down(s):
+                for m in downs:
+                    s = m(s, train)
+                return s
+
+            return down
 
         # reference quirk (lite_hrnet.py:194-202): `y = out[0]; y += ...`
         # MUTATES branch 0 in place, so (a) every row adds its branch-0 term
         # twice, and (b) rows i>=1 fuse the ACCUMULATED pre-relu branch-0 sum
-        # s0, not the original branch-0 activation.
+        # s0, not the original branch-0 activation. In train mode the
+        # fuse_layers[i][0] modules are genuinely CALLED twice per forward
+        # (`y = fuse[i][0](out[0])` then `y += fuse[i][0](out[0])`), so
+        # their BNs EMA the same batch stats twice per step — replicated by
+        # a real double application (outputs identical; in eval, where no
+        # stats move, a single call scaled by 2 is the same function).
         s0 = 2.0 * xs[0]
         for j in range(1, n):
-            s0 = s0 + fuse(j, 0, xs[j])
+            s0 = s0 + make_fuse(j, 0)(xs[j])
         out = [jax.nn.relu(s0)]
         for i in range(1, n):
-            y = 2.0 * fuse(0, i, s0)
+            f0 = make_fuse(0, i)
+            y = f0(s0) + f0(s0) if train else 2.0 * f0(s0)
             for j in range(1, n):
-                y = y + (xs[j] if i == j else fuse(j, i, xs[j]))
+                y = y + (xs[j] if i == j else make_fuse(j, i)(xs[j]))
             out.append(jax.nn.relu(y))
         return out
 
