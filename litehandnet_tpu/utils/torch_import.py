@@ -837,3 +837,50 @@ def _litehandnet_msrb_rules() -> List[Rule]:
 
 
 RULES["litehandnet_msrb"] = _litehandnet_msrb_rules()
+
+
+def _yolov6_rules() -> List[Rule]:
+    """YOLOv6 (reference models/object_detection/yolov6/): EfficientRep
+    backbone, Rep-PAN neck (SimConv reduce/downsample, ConvTranspose
+    upsample), efficient decoupled head. torch modules: RepVGGBlock
+    (common.py:135) -> flax RepBlock branches; SimConv/Conv (common.py:19-64,
+    one conv+bn) -> flax RepConv main/main_bn; Transpose (common.py:85) ->
+    nn.ConvTranspose."""
+
+    def simconv(tp, fp):
+        return [
+            (tp + r"\.conv", "conv", fp + r"/main/conv"),
+            (tp + r"\.bn", "bn", fp + r"/main_bn/bn"),
+        ]
+
+    def stage(tp, fp):
+        return (_repblock(tp + r"\.conv1", fp + r"/conv1")
+                + _repblock(tp + r"\.block\.(\d+)", fp + r"/blk\1"))
+
+    R: List[Rule] = []
+    R += _repblock(r"backbone\.stem", r"backbone/stem")
+    for i in (2, 3, 4, 5):
+        R += _repblock(rf"backbone\.ERBlock_{i}\.0", rf"backbone/er{i}_down")
+        R += stage(rf"backbone\.ERBlock_{i}\.1", rf"backbone/er{i}_stage")
+    R += simconv(r"backbone\.ERBlock_5\.2\.cv1", r"backbone/sppf/cv1")
+    R += simconv(r"backbone\.ERBlock_5\.2\.cv2", r"backbone/sppf/cv2")
+    R += simconv(r"neck\.reduce_layer0", r"neck/reduce0")
+    R.append((r"neck\.upsample0\.upsample_transpose", "deconv", r"neck/up0"))
+    R += simconv(r"neck\.reduce_layer1", r"neck/reduce1")
+    R.append((r"neck\.upsample1\.upsample_transpose", "deconv", r"neck/up1"))
+    R += stage(r"neck\.Rep_p4", r"neck/p4")
+    R += stage(r"neck\.Rep_p3", r"neck/p3")
+    R += stage(r"neck\.Rep_n3", r"neck/n3")
+    R += stage(r"neck\.Rep_n4", r"neck/n4")
+    R += simconv(r"neck\.downsample2", r"neck/down2")
+    R += simconv(r"neck\.downsample1", r"neck/down1")
+    R += simconv(r"detect\.stems\.(\d+)", r"head/stem\1")
+    R += simconv(r"detect\.cls_convs\.(\d+)", r"head/cls_conv\1")
+    R += simconv(r"detect\.reg_convs\.(\d+)", r"head/reg_conv\1")
+    R.append((r"detect\.cls_preds\.(\d+)", "conv", r"head/cls_pred\1"))
+    R.append((r"detect\.reg_preds\.(\d+)", "conv", r"head/reg_pred\1"))
+    R.append((r"detect\.obj_preds\.(\d+)", "conv", r"head/obj_pred\1"))
+    return R
+
+
+RULES["yolov6"] = _yolov6_rules()

@@ -220,6 +220,83 @@ def test_forward_parity_mynet_stacked():
 
 
 @pytest.mark.slow
+def test_forward_parity_yolov6():
+    """YOLOv6 hand-OD branch (models/object_detection/yolov6/), yolov6n
+    scaling (depth 0.33, width 0.25). The reference subtree is dead code
+    with no configs, so the config namespace is constructed by hand
+    (yolo.py:62-86 consumes it); the shipped ``Model.__init__`` is also
+    unrunnable — ``self.init_weights(self)`` (yolo.py:31) passes self to a
+    zero-arg method (TypeError) — so ``init_weights`` is patched out, which
+    keeps torch-default BN eps/momentum (matching our BatchNorm; the
+    method's eps=1e-3 re-binding is unreachable reference-side too).
+    Covers the learnable ConvTranspose neck upsamplers (common.py:85-98)
+    and the full eval-mode decode (effidehead.py:72-88)."""
+    import importlib
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.models.yolov6 import YOLOv6
+    from litehandnet_tpu.utils.torch_import import import_torch_state_dict
+
+    ref_loader.ensure_reference_importable()
+    yolo = importlib.import_module("models.object_detection.yolov6.yolo")
+    yolo.Model.init_weights = lambda self, *a, **k: None
+    ns = types.SimpleNamespace
+    refcfg = ns(model=ns(
+        depth_multiple=0.33, width_multiple=0.25,
+        backbone=ns(num_repeats=[1, 6, 12, 18, 6],
+                    out_channels=[64, 128, 256, 512, 1024]),
+        neck=ns(num_repeats=[12, 12, 12, 12],
+                out_channels=[256, 128, 128, 256, 256, 512]),
+        head=ns(num_layers=3, anchors=1, begin_indices=24,
+                out_indices=[17, 20, 23]),
+    ))
+    tm = yolo.Model(refcfg, channels=3, num_classes=1, anchors=1)
+    tm.eval()
+    sane_reinit(tm)
+    # keep the eval decode finite: exp(wh logits) overflows under xavier's
+    # O(1) reg outputs (the decode expects trained near-zero logits)
+    for conv in tm.detect.reg_preds:
+        conv.weight.data.mul_(0.01)
+        conv.bias.data.mul_(0.01)
+
+    model = YOLOv6(num_classes=1, width=0.25, depth=0.33)
+    target = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    var = import_torch_state_dict("yolov6", tm.state_dict(), target)
+    x = np.random.RandomState(0).uniform(-1, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    fy = model.apply(var, jnp.asarray(x), train=False)
+    assert_close(fy, ty)  # [B, 84, 6] decoded rows over strides 8/16/32
+
+    # training-mode raw maps (effidehead.py:68-71; na=1 -> squeeze): pins
+    # the pre-decode channel order reg4/obj/cls per scale
+    tm.train()
+    with torch.no_grad():
+        t_raw = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        tm.eval()
+    f_raw, _ = model.apply(
+        var, jnp.asarray(x), train=True, mutable=["batch_stats"]
+    )
+    assert len(f_raw) == len(t_raw) == 3
+    for f, t in zip(f_raw, t_raw):
+        # torch's permuted raw map is ALREADY [bs, ny, nx, no] — compare
+        # directly (to_nhwc would mis-transpose a channel-last 4D tensor)
+        t = t.squeeze(1).numpy()
+        f = np.asarray(f)
+        assert f.shape == t.shape, (f.shape, t.shape)
+        scale = np.abs(t).max() + 1e-9
+        # atol 2e-3: train-mode batch-stat BN noise reaches ~8e-4 at the
+        # deepest (2x2) scale; a channel-order mistake would miss by O(1)
+        np.testing.assert_allclose(f / scale, t / scale, atol=2e-3, rtol=0)
+
+
+@pytest.mark.slow
 def test_forward_parity_litehandnet_msrb():
     """MSRB variant (models/pose_estimation/liteHandNet/litehourglass.py:
     13-237; vendored in the reference but never wired into its registry)."""
