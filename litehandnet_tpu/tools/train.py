@@ -36,14 +36,18 @@ def main(argv=None):
     initialize_multihost(args.coordinator)
     cfg = get_config(args.cfg)
 
-    n_dev = args.num_devices or jax.local_device_count()
+    # mesh spans ALL devices across processes; each process's loader
+    # produces only its LOCAL rows (globalize_batch stitches them into the
+    # global array inside the trainer)
+    n_dev = args.num_devices or jax.device_count()
     batch = int(cfg.TRAIN.batch_per_gpu) * n_dev
+    local_batch = batch * jax.local_device_count() // jax.device_count()
     train_loader = DataLoader(
-        cfg, "train", batch_size=batch, num_workers=args.workers,
+        cfg, "train", batch_size=local_batch, num_workers=args.workers,
         seed=args.seed + jax.process_index(),
     )
     val_loader = DataLoader(
-        cfg, "val", batch_size=batch, num_workers=args.workers,
+        cfg, "val", batch_size=local_batch, num_workers=args.workers,
         seed=args.seed,
     )
     steps_per_epoch = max(len(train_loader), 1)

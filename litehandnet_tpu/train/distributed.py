@@ -75,6 +75,7 @@ def make_train_step(
     def per_device_step(state: TrainState, batch, rng):
         if not single_device:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        scaler = state.loss_scaler
 
         def loss_fn(trainable):
             variables = {"params": trainable["model"]}
@@ -98,12 +99,18 @@ def make_train_step(
                 {"params": trainable["crit"]} if state.crit_params else {}
             )
             loss, loss_dict = criterion.apply(crit_vars, out, batch)
-            return loss, (new_stats, loss_dict)
+            # optional fp16-style loss scaling (reference fp16_optimizer.py):
+            # grads come back scaled and are unscaled below; the reported
+            # loss stays raw
+            grad_loss = loss if scaler is None else scaler.scale_loss(loss)
+            return grad_loss, (loss, new_stats, loss_dict)
 
         trainable = {"model": state.params, "crit": state.crit_params}
-        (loss, (new_stats, loss_dict)), grads = jax.value_and_grad(
+        (_, (loss, new_stats, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable)
+        if scaler is not None:
+            grads = scaler.unscale(grads)
 
         # DDP semantics: average gradients (and logged losses) across the
         # data axis; keep BN running stats replicated. Degenerate on a
@@ -116,12 +123,26 @@ def make_train_step(
 
         updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
+        new_scaler = None
+        if scaler is not None:
+            # overflow-skip (reference fp16_optimizer.py:336-489): on any
+            # non-finite gradient keep params/opt-state and halve the scale
+            new_scaler, finite = scaler.update(grads)
+
+            def keep_if_finite(new, old):
+                return jax.tree.map(
+                    lambda n, o: jnp.where(finite, n, o), new, old
+                )
+
+            new_trainable = keep_if_finite(new_trainable, trainable)
+            new_opt_state = keep_if_finite(new_opt_state, state.opt_state)
         new_state = state.replace(
             step=state.step + 1,
             params=new_trainable["model"],
             crit_params=new_trainable["crit"],
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            loss_scaler=new_scaler,
         )
         metrics = dict(loss=loss, **loss_dict)
         return new_state, metrics
@@ -175,6 +196,35 @@ def make_eval_step(model, criterion, mesh: Mesh, axis: str = DATA_AXIS):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def globalize_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
+    """Assemble each process's LOCAL batch shard into global ``jax.Array``s
+    sharded over the mesh's data axis.
+
+    Multi-controller JAX requires every process to hand jit the same GLOBAL
+    array; ``jax.make_array_from_process_local_data`` stitches the local
+    rows (this process's loader shard, ``data/loader.py`` per-process
+    indices) into it without any cross-host transfer. Identity when running
+    single-process — the common case keeps zero overhead. The reference has
+    no analogue: DDP ranks each run their own process-local step
+    (train/spawn_dist.py), while here one logical program spans hosts.
+    """
+    if jax.process_count() == 1:
+        return batch
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(axis))
+    return {
+        k: (
+            jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            )
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+            else v
+        )
+        for k, v in batch.items()
+    }
 
 
 _multihost_initialized = False

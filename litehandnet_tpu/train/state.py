@@ -22,10 +22,13 @@ class TrainState:
     batch_stats: Any     # model BN running stats
     crit_params: Any     # criterion params ({} if the criterion is stateless)
     opt_state: Any
+    # optional DynamicLossScaler (train/precision.py) for fp16-style runs;
+    # None (the default) is the bf16 path — no scaling machinery traced
+    loss_scaler: Any = None
 
     @classmethod
     def create(cls, model_variables: Mapping, crit_variables: Mapping,
-               tx: optax.GradientTransformation):
+               tx: optax.GradientTransformation, loss_scaler: Any = None):
         params = model_variables["params"]
         batch_stats = model_variables.get("batch_stats", {})
         crit_params = (
@@ -40,4 +43,5 @@ class TrainState:
             batch_stats=batch_stats,
             crit_params=crit_params,
             opt_state=opt_state,
+            loss_scaler=loss_scaler,
         )

@@ -22,6 +22,7 @@ from litehandnet_tpu.losses import get_loss
 from litehandnet_tpu.models import get_model
 from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
 from litehandnet_tpu.train.distributed import (
+    globalize_batch,
     is_chief,
     make_eval_step,
     make_mesh,
@@ -42,7 +43,10 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = make_mesh(num_devices)
-        world = int(self.mesh.devices.size) * jax.process_count()
+        # the mesh is built over jax.devices() == ALL devices across
+        # processes, so its size already IS the world size (reference LR
+        # scaling: lr * world, optimizer_scheduler.py)
+        world = int(self.mesh.devices.size)
         sync_bn = bool(cfg.TRAIN.get("syncBN", False))
         # cross-device BN needs a named mesh axis, which only exists on the
         # shard_map path (mesh size > 1); single-device SyncBN == plain BN
@@ -73,7 +77,16 @@ class Trainer:
         cv = self.criterion.init(
             jax.random.PRNGKey(seed + 1), out0, _to_local(sample_batch, 1)
         )
-        return self._replicate(TrainState.create(mv, cv, self.tx))
+        scaler = None
+        if self.cfg.TRAIN.get("loss_scale", False):
+            # fp16-style dynamic loss scaling (reference train/fp16_utils/);
+            # unnecessary on bf16 TPUs, kept for fp16-preferred hardware
+            from litehandnet_tpu.train.precision import DynamicLossScaler
+
+            scaler = DynamicLossScaler.create()
+        return self._replicate(
+            TrainState.create(mv, cv, self.tx, loss_scaler=scaler)
+        )
 
     def _replicate(self, state: TrainState) -> TrainState:
         """Place state replicated over the mesh (restored checkpoints come
@@ -101,6 +114,7 @@ class Trainer:
         agg, n = {}, 0
         for i, batch in enumerate(batches):
             rng, sub = jax.random.split(rng)
+            batch = globalize_batch(batch, self.mesh)
             state, metrics = self.train_step(state, batch, sub)
             n += 1
             for k, v in metrics.items():
@@ -116,6 +130,7 @@ class Trainer:
         """Reference val_one_epoch (topdown_trainer.py:26-41): loss-only."""
         agg, n = {}, 0
         for batch in batches:
+            batch = globalize_batch(batch, self.mesh)
             _, metrics = self.eval_step(state, batch)
             n += 1
             for k, v in metrics.items():

@@ -118,6 +118,53 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-3, atol=1e-6)
 
 
+def test_loss_scaler_wired(rng):
+    """DynamicLossScaler through the real train step (reference
+    train/fp16_utils/loss_scaler.py:81-212 + fp16_optimizer.py:336-489):
+    (a) with finite grads, a power-of-two scale cancels exactly, so the
+    scaled run matches the unscaled one; (b) a batch that produces
+    non-finite grads skips the update (params/opt-state unchanged) and
+    halves the scale."""
+    from litehandnet_tpu.train.precision import DynamicLossScaler
+
+    imgs = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+    target = rng.uniform(0, 1, size=(8, 16, 16, 21)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+
+    params_by_mode = {}
+    for scaled in (False, True):
+        cfg, mesh, model, crit, tx, state, _ = _setup(sync_bn=True)
+        if scaled:
+            state = state.replace(
+                loss_scaler=DynamicLossScaler.create(init_scale=2.0**10)
+            )
+        step = make_train_step(model, crit, tx, mesh, donate=False)
+        batch = {
+            "img": jnp.asarray(imgs),
+            "target": jnp.asarray(target),
+            "target_weight": jnp.ones((8, 21)),
+        }
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        params_by_mode[scaled] = jax.tree.leaves(state.params)
+        if scaled:
+            # finite steps: scale held (window=1000 not reached), steps count
+            assert float(state.loss_scaler.scale) == 2.0**10
+            assert int(state.loss_scaler.good_steps) == 2
+            # (b) non-finite gradients: update skipped, scale halved
+            bad = dict(batch, img=jnp.full_like(batch["img"], jnp.nan))
+            before = jax.tree.leaves(state.params)
+            state2, _ = step(state, bad, jax.random.fold_in(key, 9))
+            for a, b in zip(before, jax.tree.leaves(state2.params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(state2.loss_scaler.scale) == 2.0**9
+            assert int(state2.loss_scaler.good_steps) == 0
+    for a, b in zip(params_by_mode[False], params_by_mode[True]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
 def test_eval_step(rng):
     cfg, mesh, model, crit, tx, state, batch = _setup()
     estep = make_eval_step(model, crit, mesh)
