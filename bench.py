@@ -24,32 +24,15 @@ import time
 import numpy as np
 
 
-def real_input_bench(n_images=None, batch=None):
-    """Disk-to-coordinates serving benchmark: JPEG decode (thread pool,
-    double-buffered prefetch) -> fused DevicePipeline -> bf16 deploy-fused
-    forward -> DARK decode -> host coords. Measures the FULL input path the
-    default mode pre-stages away (BASELINE.json's metric is
-    'pre+infer+decode end-to-end'; SURVEY §7 predicted host decode as the
-    real bottleneck)."""
+def _ensure_jpeg_dataset(SIZE, N):
+    """Synthesize an on-disk JPEG dataset once (centered hand bbox; source
+    images larger than the crop so the decode path is exercised fully).
+    Returns (root, ann_path)."""
     import os
     import tempfile
 
-    import jax
-    import jax.numpy as jnp
     from PIL import Image
 
-    from litehandnet_tpu.config import config_from_dict
-    from litehandnet_tpu.data.loader import DataLoader
-    from litehandnet_tpu.models import get_model
-    from litehandnet_tpu.ops.decode import keypoints_from_heatmaps
-
-    n_dev = jax.local_device_count()
-    SIZE = 256
-    B = (batch or int(os.environ.get("LHN_BENCH_B", 128))) * n_dev
-    N = n_images or int(os.environ.get("LHN_BENCH_N", 4096))
-
-    # synthesize an on-disk JPEG dataset once (centered hand bbox; source
-    # images larger than the crop so the decode path is exercised fully)
     root = os.path.join(tempfile.gettempdir(), f"lhn_bench_ds_{SIZE}_{N}")
     ann_path = os.path.join(root, "ann.json")
     if not os.path.exists(ann_path):
@@ -73,6 +56,32 @@ def real_input_bench(n_images=None, batch=None):
         with open(ann_path, "w") as f:
             json.dump(dict(images=images, annotations=annotations,
                            categories=[dict(id=1, name="hand")]), f)
+    return root, ann_path
+
+
+def real_input_bench(n_images=None, batch=None):
+    """Disk-to-coordinates serving benchmark: JPEG decode (thread pool,
+    double-buffered prefetch) -> fused DevicePipeline -> bf16 deploy-fused
+    forward -> DARK decode -> host coords. Measures the FULL input path the
+    default mode pre-stages away (BASELINE.json's metric is
+    'pre+infer+decode end-to-end'; SURVEY §7 predicted host decode as the
+    real bottleneck)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.config import config_from_dict
+    from litehandnet_tpu.data.loader import DataLoader
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.ops.decode import keypoints_from_heatmaps
+
+    n_dev = jax.local_device_count()
+    SIZE = 256
+    B = (batch or int(os.environ.get("LHN_BENCH_B", 128))) * n_dev
+    N = n_images or int(os.environ.get("LHN_BENCH_N", 4096))
+
+    root, ann_path = _ensure_jpeg_dataset(SIZE, N)
 
     cfg = config_from_dict(dict(
         MODEL=dict(name="litehandnet", num_stage=4, num_block=[2, 2, 2],
@@ -144,6 +153,105 @@ def real_input_bench(n_images=None, batch=None):
         "vs_baseline": round(rate / 5000.0, 3),
     }))
     return rate
+
+
+def input_budget_bench(n_images=1024):
+    """Per-stage input-path budget: measure each stage of disk->coords in
+    isolation, then print the arithmetic from this host to the 5k img/s/chip
+    from-disk target (PROFILE.md "input budget"). Stages:
+
+      decode (per worker):   JPEG -> ROI canvas, native libjpeg / cv2 pool /
+                             N-process shared-memory pool (data/mp_decode.py)
+      transfer:              canvas host -> device bytes/s
+      device:                uint8 -> coords compute rate (device-resident)
+
+    The from-disk rate is min(decode x workers, transfer, device) when the
+    stages overlap; `--real-input` measures the actual overlap."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu import native
+    from litehandnet_tpu.data.loader import _load_image
+    from litehandnet_tpu.data.mp_decode import ProcessDecodePool, default_procs
+
+    SIZE, B = 256, 128
+    root, ann_path = _ensure_jpeg_dataset(SIZE, n_images)
+    paths = [os.path.join(root, f"images/{i:06d}.jpg")
+             for i in range(n_images)]
+    centers = np.tile(np.float32([160.0, 160.0]), (B, 1))
+    halves = np.full(B, 176.0, np.float32)  # 240-px box * 1.1 margin * 1.05
+    scales = np.tile(np.float32([240.0 / 200, 240.0 / 200]), (B, 1))
+    canvas = (SIZE, SIZE)
+    stages = {}
+
+    def rate(fn, tag, reps):
+        fn(0)  # warm (page cache, pools)
+        t0 = time.time()
+        n = 0
+        for r in range(1, reps + 1):
+            fn(r)
+            n += B
+        stages[tag] = round(n / (time.time() - t0), 1)
+
+    reps = max(n_images // B - 1, 2)
+    if native.available():
+        nt = os.cpu_count() or 1
+        rate(lambda r: native.decode_roi_batch(
+            paths[(r * B) % (n_images - B):][:B], canvas, centers, halves,
+            n_threads=1), "decode_native_1thread_img_per_s", reps)
+        if nt > 1:
+            rate(lambda r: native.decode_roi_batch(
+                paths[(r * B) % (n_images - B):][:B], canvas, centers,
+                halves, n_threads=nt),
+                f"decode_native_{nt}threads_img_per_s", reps)
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(8) as pool:
+        rate(lambda r: list(pool.map(
+            lambda p: _load_image(p, canvas, center=centers[0],
+                                  scale=scales[0], margin=1.1),
+            paths[(r * B) % (n_images - B):][:B])),
+            "decode_cv2_pool_img_per_s", reps)
+    nproc = default_procs()
+    mp_pool = ProcessDecodePool(nproc, B, canvas, roi_margin=1.1)
+    try:
+        rate(lambda r: mp_pool.decode(
+            paths[(r * B) % (n_images - B):][:B], centers, scales),
+            f"decode_mp_{nproc}procs_img_per_s", reps)
+    finally:
+        mp_pool.close()
+
+    # host -> device transfer rate (uint8 canvases; sync via materialize)
+    buf = np.random.RandomState(0).randint(
+        0, 256, (B, SIZE, SIZE, 3), np.uint8
+    )
+    sums = []
+
+    def xfer(r):
+        dev = jax.device_put(buf + np.uint8(r % 2))  # distinct content
+        sums.append(float(jnp.sum(dev[0, 0, 0])))
+
+    rate(xfer, "transfer_img_per_s", 4)
+    bytes_per_img = SIZE * SIZE * 3
+    stages["transfer_MB_per_s"] = round(
+        stages["transfer_img_per_s"] * bytes_per_img / 1e6, 1
+    )
+
+    # budget arithmetic toward the 5k img/s/chip from-disk target
+    per_core = max(
+        stages.get("decode_native_1thread_img_per_s", 0.0),
+        stages.get("decode_cv2_pool_img_per_s", 0.0),
+    )
+    budget = {
+        "bytes_per_img": bytes_per_img,
+        "decode_cores_needed_for_5k": round(5000.0 / max(per_core, 1e-9), 1),
+        "transfer_MBps_needed_for_5k": round(5000 * bytes_per_img / 1e6, 1),
+        "host_cores": os.cpu_count(),
+    }
+    print(json.dumps({"metric": "input_budget", "stages": stages,
+                      "budget": budget}))
+    return stages, budget
 
 
 def main():
@@ -260,6 +368,9 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    main()
-    if "--real-input" in sys.argv:
-        real_input_bench()
+    if "--input-budget" in sys.argv:
+        input_budget_bench()
+    else:
+        main()
+        if "--real-input" in sys.argv:
+            real_input_bench()

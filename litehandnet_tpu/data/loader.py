@@ -192,6 +192,7 @@ class DataLoader:
         drop_last: Optional[bool] = None,
         seed: int = 0,
         use_native: Optional[bool] = None,
+        decode_procs: int = 0,
     ):
         self.cfg = cfg
         self.data_type = data_type
@@ -225,6 +226,18 @@ class DataLoader:
         n = len(self.dataset)
         proc, nproc = jax.process_index(), jax.process_count()
         self.local_indices = np.arange(proc, n, nproc)
+        # optional process-sharded decode (reference torch DataLoader worker
+        # processes, datasets/dataloader.py:7-55): N OS workers writing into
+        # shared memory, lifting the host-Python/GIL ceiling on multi-core
+        # TPU-VM hosts. 0 = in-process decode (native pthread pool / cv2).
+        self.decode_pool = None
+        if decode_procs > 0:
+            from litehandnet_tpu.data.mp_decode import ProcessDecodePool
+
+            self.decode_pool = ProcessDecodePool(
+                decode_procs, self.batch_size, self.canvas_hw,
+                roi_margin=self.roi_margin,
+            )
 
     def __len__(self):
         n = len(self.local_indices)
@@ -238,6 +251,17 @@ class DataLoader:
         progressive, IO error) falls back to the per-image cv2/PIL path with
         identical geometry semantics.
         """
+        if self.decode_pool is not None:
+            canv, off, fsc = self.decode_pool.decode(
+                [r["image_file"] for r in records],
+                np.stack([np.asarray(r["center"], np.float32)
+                          for r in records]),
+                np.stack([np.asarray(r["scale"], np.float32)
+                          for r in records]),
+            )
+            # copy out of the shared block: prefetch_iter overlaps batches,
+            # and the next decode() reuses the same memory
+            return list(np.array(canv, copy=True)), off, fsc
         if self.use_native:
             centers = np.stack(
                 [np.asarray(r["center"], np.float32) for r in records]

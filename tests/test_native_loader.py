@@ -249,3 +249,38 @@ def test_exif_orientation_stored_pixels(imgdir, tmp_path):
     np.testing.assert_array_equal(nsc, rsc)
     d = np.abs(nat.astype(int) - ref.astype(int))
     assert d.max() <= 2
+
+
+@pytest.mark.slow
+def test_process_decode_pool_matches_inprocess(imgdir):
+    """ProcessDecodePool (data/mp_decode.py) must reproduce the in-process
+    decode exactly: same canvases, same offset/scale geometry — N spawned
+    workers writing slices of one shared-memory block are an implementation
+    detail, not a semantic change. Includes the fallback path (PNG) inside
+    a worker."""
+    from litehandnet_tpu.data.loader import _load_image
+    from litehandnet_tpu.data.mp_decode import ProcessDecodePool
+
+    canvas = (128, 128)
+    margin = 1.1
+    paths = [str(imgdir / n) for n in
+             ("small.jpg", "big.jpg", "mid.png", "gray.jpg")]
+    centers = np.float32([[150, 130], [640, 480], [320, 240], [100, 100]])
+    scales = np.float32([[0.8, 0.7], [2.0, 1.5], [1.0, 1.0], [0.5, 0.5]])
+
+    pool = ProcessDecodePool(2, len(paths), canvas, roi_margin=margin)
+    try:
+        canv, off, fsc = pool.decode(paths, centers, scales)
+        for i, p in enumerate(paths):
+            ref, roff, rsc = _load_image(
+                p, canvas, center=centers[i], scale=scales[i], margin=margin
+            )
+            np.testing.assert_allclose(off[i], roff, rtol=1e-6)
+            np.testing.assert_allclose(fsc[i], rsc, rtol=1e-6)
+            # JPEGs may take the native decoder in the worker (block-edge
+            # chroma tolerance); the PNG falls back to the exact cv2 path
+            diff = np.abs(canv[i].astype(int) - ref.astype(int))
+            assert diff.mean() < 3.0 and (diff > 40).mean() < 0.02, (
+                i, diff.mean())
+    finally:
+        pool.close()
