@@ -1,0 +1,90 @@
+"""Full-lifecycle convergence drive through the REAL CLI stack.
+
+`tools/train.py` (loader -> DevicePipeline -> shard_map trainer ->
+best-checkpoint gating) memorizes a tiny on-disk synthetic FreiHAND-format
+dataset, then `tools/test.py` restores the saved BEST checkpoint
+(deploy-fused), runs the batched DARK decode, and must report PCK ~ 1.0 —
+the reference's `dist_train.py:50-289` + `test.py:63-155` lifecycle
+actually converging, not a 1-2-step smoke.
+
+The dataset is 8 distinct noise images with random keypoints: nothing
+generalizes, so hitting PCK ~= 1 REQUIRES the whole loop to work — encode
+matches decode, loader geometry matches eval geometry, the optimizer
+descends, the best checkpoint is the trained one, and restore is faithful.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def e2e_setup(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("e2e_ds")
+    (root / "images").mkdir()
+    rng = np.random.RandomState(7)
+    images, annotations = [], []
+    for i in range(8):
+        arr = rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray(arr).save(root / "images" / name)
+        images.append(dict(id=i, file_name=f"images/{name}", width=64,
+                           height=64))
+        kpts = []
+        for x, y in rng.uniform(12, 52, size=(21, 2)):
+            kpts += [float(x), float(y), 1]
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1, iscrowd=0, keypoints=kpts,
+            bbox=[4.0, 4.0, 56.0, 56.0], area=3136.0,
+        ))
+    (root / "ann.json").write_text(json.dumps(dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )))
+
+    ckpt_root = tmp_path_factory.mktemp("e2e_ckpts")
+    cfg_file = root / "exp_cfg.py"
+    # deterministic pipeline (no flip/rot/scale jitter) so the 8 samples are
+    # memorizable; batch == dataset -> 1 step/epoch, epochs == optimizer steps
+    cfg_file.write_text(f"""
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    cfg = make_cfg("litehandnet", "freihand", exp_id=996, image_size=64,
+                   num_stage=3, num_block=[1, 1], input_channel=32,
+                   ca_type="se", reduction=2)
+    for split in ("train", "val", "test"):
+        cfg["DATASET"][split] = dict(
+            ann_file={str(root / "ann.json")!r},
+            img_prefix={str(root) + "/"!r})
+    cfg["CHECKPOINT"].update(save_root={str(ckpt_root)!r}, interval=1000,
+                             resume=False)
+    cfg["PIPELINE"].update(flip_prob=0, rot_prob=0, rot_factor=0,
+                           scale_factor=0)
+    cfg["TRAIN"].update(batch_per_gpu=8, total_epoches=220)
+    cfg["OPTIMIZER"].update(lr=2e-3, warmup_steps=0, step_epoch=[1000])
+    cfg["EVAL"]["interval"] = 20
+    return cfg
+""")
+    return str(cfg_file)
+
+
+@pytest.mark.slow
+def test_cli_train_converges_and_eval_hits_pck(e2e_setup):
+    from litehandnet_tpu.tools.test import main as eval_main
+    from litehandnet_tpu.tools.train import main as train_main
+
+    train_main(["--cfg", e2e_setup, "--num-devices", "1", "--workers", "2"])
+
+    metrics = eval_main(["--cfg", e2e_setup, "--load-best",
+                         "--batch-size", "8"])
+    # PCK@0.2 of the 56-px box = 11.2 px at 64x64 input / 16x16 heatmaps;
+    # memorization must place every peak on its keypoint
+    assert metrics["PCK"] >= 0.95, metrics
+    # EPE in original-image pixels: decoded peaks on a 16x16 grid upscaled
+    # x4 quantize to ~2px; anything much larger means geometry mismatch
+    assert metrics["EPE"] <= 4.0, metrics
