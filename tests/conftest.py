@@ -22,8 +22,21 @@ import jax  # noqa: E402
 # the env var alone is not enough, so force CPU through the config API too.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent XLA compile cache: repeat suite runs skip most compilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/lhn_jax_cache")
+# persistent XLA compile cache: repeat suite runs skip most compilation.
+# Keyed by host CPU flags: the cache key does NOT cover the host microarch,
+# and /tmp can survive across driver machines — a cache written on another
+# CPU loads AOT executables with mismatched machine features (XLA warns of
+# SIGILL, and instruction selection differs enough to flip marginal
+# float-tolerance tests).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _cpu = ""
+_key = hashlib.sha1(_cpu.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/lhn_jax_cache_{_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
