@@ -3,6 +3,7 @@ model + criterion (construction only — init/compile is covered per family
 elsewhere). Round-1 shipped configs nothing ever imported."""
 
 import glob
+import os
 import os.path as osp
 
 import pytest
@@ -45,3 +46,31 @@ def test_config_loads_and_builds(name):
     assert model is not None
     crit = get_loss(cfg)
     assert crit is not None
+
+
+def test_reproduce_auc_grid_and_skip_path(tmp_path):
+    """Every cell of the BASELINE.md §A reproduction grid resolves to a
+    loadable config at 256x256 with the right family, and the driver
+    degrades to SKIPPED(no data) cells (writing the json artifact) when
+    the datasets are absent — so the only missing ingredient for the
+    trained-accuracy table is the data itself."""
+    from litehandnet_tpu.tools.reproduce_auc import (
+        CONFIGS as GRID, REFERENCE_AUC, main,
+    )
+
+    assert set(GRID) == set(REFERENCE_AUC)
+    for model, per_ds in GRID.items():
+        assert set(per_ds) == {"onehand10k", "panoptic", "freihand", "rhd"}
+        for name in per_ds.values():
+            cfg = get_config(name)
+            assert list(cfg.DATASET.image_size) == [256, 256], name
+
+    out = tmp_path / "auc_table.json"
+    cwd = os.getcwd()
+    try:  # the driver chdirs into --data-root (reference-relative paths)
+        results = main(["--data-root", str(tmp_path), "--out", str(out),
+                        "--models", "litehandnet", "--datasets", "freihand"])
+    finally:
+        os.chdir(cwd)
+    assert results["litehandnet"]["freihand"]["status"] == "SKIPPED(no data)"
+    assert out.is_file()
