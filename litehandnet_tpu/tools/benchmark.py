@@ -87,6 +87,78 @@ def bench_model(name: str, size: int, batch: int, bf16: bool, reps: int = 30):
     return rows
 
 
+def bench_throughput(name: str, size: int, batch: int, bf16: bool,
+                     reps: int = 30):
+    """Serving throughput: forward-only img/s at large batch (deploy-fused
+    graph where the family has one). Same remote-TPU-safe methodology as
+    bench_train_step: all reps dependency-chained in ONE lax.scan dispatch
+    (a per-rep Python dispatch costs ~10-20 ms of tunnel round trip), the
+    input perturbed per rep (identical repeated calls can be served from
+    the remote execution cache), warmed 3x, best-of-3."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litehandnet_tpu.config import config_from_dict
+    from litehandnet_tpu.models import fuse_params, get_model
+
+    dtype = jnp.bfloat16 if bf16 else None
+    model_kw = dict(name=name, output_channel=21)
+    if name == "srhandnet":
+        model_kw.update(output_channel=24, pred_bbox=True)
+    cfg = config_from_dict(dict(
+        MODEL=model_kw,
+        DATASET=dict(num_joints=21, image_size=[size, size],
+                     heatmap_size=[size // 4, size // 4]),
+        PIPELINE=dict(simdr_split_ratio=0),
+    ))
+    deploy = name == "litehandnet"
+    model = get_model(cfg, deploy=deploy, dtype=dtype)
+    small = jnp.zeros((1, 64, 64, 3), dtype or jnp.float32)
+    if deploy:
+        tv = get_model(cfg, deploy=False, dtype=dtype).init(
+            jax.random.PRNGKey(0), small, train=False
+        )
+        variables = fuse_params(tv)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), small, train=False)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.uniform(-1, 1, (batch, size, size, 3)), dtype or jnp.float32
+    )
+
+    @jax.jit
+    def run(x, key):
+        def body(carry, i):
+            # per-rep input perturbation (cache-proof), chained through the
+            # carry so XLA cannot parallelize or elide any rep
+            eps = jax.random.uniform(jax.random.fold_in(key, i), ())
+            xi = x + (carry + eps).astype(x.dtype) * jnp.asarray(
+                1e-6, x.dtype
+            )
+            out = model.apply(variables, xi, train=False)
+            leaf = jax.tree.leaves(out)[0]
+            return jnp.mean(leaf).astype(jnp.float32), jnp.float32(0)
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return carry
+
+    key = jax.random.PRNGKey(3)
+    for w in range(3):
+        float(run(x, jax.random.fold_in(key, w)))
+    dts = []
+    for t in range(3):
+        t0 = time.time()
+        float(run(x, jax.random.fold_in(key, 100 + t)))
+        dts.append(time.time() - t0)
+    dt = min(dts) / reps
+    return dict(
+        ms_per_batch=round(dt * 1e3, 2),
+        img_per_sec=round(batch / dt, 1),
+    )
+
+
 def bench_train_step(name: str, size: int, batch: int, bf16: bool,
                      reps: int = 20):
     """Training throughput: full jitted train step (forward + backward + BN
@@ -202,9 +274,22 @@ def main(argv=None):
     parser.add_argument("--train", action="store_true",
                         help="measure the full train step instead of the "
                              "inference forward")
+    parser.add_argument("--throughput", action="store_true",
+                        help="measure serving img/s (forward-only, scan-"
+                             "chained; use with a large --batch, e.g. 128)")
     args = parser.parse_args(argv)
 
     results = {}
+    if args.throughput:
+        for name in args.models:
+            try:
+                results[name] = bench_throughput(
+                    name, args.size, args.batch, args.bf16, args.reps
+                )
+                print(f"{name}: {json.dumps(results[name])}", flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+        return results
     if args.train:
         for name in args.models:
             try:
