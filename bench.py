@@ -169,6 +169,10 @@ def input_budget_bench(n_images=1024):
     stages overlap; `--real-input` measures the actual overlap."""
     import os
 
+    # the stage loops slice paths[(r*B) % (n_images - B):][:B] — full
+    # batches at distinct offsets need at least 2 batches of images
+    assert n_images >= 256, "need >= 2 batches (B=128) of distinct images"
+
     import jax
     import jax.numpy as jnp
 
@@ -222,14 +226,18 @@ def input_budget_bench(n_images=1024):
     finally:
         mp_pool.close()
 
-    # host -> device transfer rate (uint8 canvases; sync via materialize)
-    buf = np.random.RandomState(0).randint(
-        0, 256, (B, SIZE, SIZE, 3), np.uint8
-    )
+    # host -> device transfer rate (uint8 canvases; sync via materialize).
+    # Two pre-built buffers alternated for distinct content: building the
+    # perturbed array INSIDE the timed loop is a full 25 MB host-side numpy
+    # materialization (several ms) that would understate PCIe bandwidth 2-4x
+    bufs = [
+        np.random.RandomState(s).randint(0, 256, (B, SIZE, SIZE, 3), np.uint8)
+        for s in (0, 1)
+    ]
     sums = []
 
     def xfer(r):
-        dev = jax.device_put(buf + np.uint8(r % 2))  # distinct content
+        dev = jax.device_put(bufs[r % 2])  # distinct content per rep
         sums.append(float(jnp.sum(dev[0, 0, 0])))
 
     rate(xfer, "transfer_img_per_s", 4)

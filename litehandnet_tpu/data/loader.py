@@ -236,8 +236,24 @@ class DataLoader:
 
             self.decode_pool = ProcessDecodePool(
                 decode_procs, self.batch_size, self.canvas_hw,
-                roi_margin=self.roi_margin,
+                roi_margin=self.roi_margin, use_native=self.use_native,
             )
+
+    def close(self):
+        """Release the decode worker processes + shared-memory block (a
+        no-op without a pool). Scripts that build loaders per split/epoch
+        should call this (or use the loader as a context manager) instead
+        of waiting for interpreter GC."""
+        if self.decode_pool is not None:
+            self.decode_pool.close()
+            self.decode_pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __len__(self):
         n = len(self.local_indices)

@@ -29,16 +29,17 @@ import numpy as np
 _worker: dict = {}
 
 
-def _init_worker(shm_name: str, shape):
+def _init_worker(shm_name: str, shape, use_native: bool):
     """Runs once per worker process: attach the shared canvas block."""
     shm = shared_memory.SharedMemory(name=shm_name)
     _worker["shm"] = shm  # keep a ref or the mapping is GC'd
     _worker["canvases"] = np.ndarray(shape, np.uint8, buffer=shm.buf)
-    # decided once per process; import here so a worker missing the
-    # toolchain degrades alone
+    # decided once per process — honoring the caller's use_native=False
+    # (workers must not re-enable a decoder the user disabled); import here
+    # so a worker missing the toolchain degrades alone
     from litehandnet_tpu import native
 
-    _worker["native"] = native.available()
+    _worker["native"] = bool(use_native) and native.available()
 
 
 def _decode_slice(args):
@@ -82,7 +83,7 @@ class ProcessDecodePool:
     """
 
     def __init__(self, n_procs: int, batch_size: int, canvas_hw,
-                 roi_margin: float = 1.1):
+                 roi_margin: float = 1.1, use_native: bool = True):
         self.n_procs = int(n_procs)
         self.batch = int(batch_size)
         self.canvas_hw = (int(canvas_hw[0]), int(canvas_hw[1]))
@@ -97,7 +98,7 @@ class ProcessDecodePool:
         ctx = mp.get_context("spawn")
         self._pool = ctx.Pool(
             self.n_procs, initializer=_init_worker,
-            initargs=(self._shm.name, shape),
+            initargs=(self._shm.name, shape, bool(use_native)),
         )
 
     def decode(self, paths: Sequence[str], centers: np.ndarray,

@@ -90,39 +90,48 @@ def main(argv=None):
     parser.add_argument("--out", default="auc_table.json")
     args = parser.parse_args(argv)
 
-    os.chdir(args.data_root)  # template paths are reference-relative
+    # resolve --out before entering --data-root (template dataset paths are
+    # reference-relative, so the cells run chdir'd into the data root);
+    # restore the caller's cwd afterwards — in-process callers must not be
+    # left stranded in the data root
+    out_path = os.path.abspath(args.out)
+    prev_cwd = os.getcwd()
+    os.chdir(args.data_root)
 
     from litehandnet_tpu.tools.test import main as eval_main
     from litehandnet_tpu.tools.train import main as train_main
 
     results: dict[str, dict[str, dict]] = {}
-    for model in args.models:
-        results[model] = {}
-        for ds in args.datasets:
-            cfg_name = CONFIGS[model][ds]
-            ann = _ann_file(cfg_name)
-            if not os.path.isfile(ann):
-                results[model][ds] = {"status": "SKIPPED(no data)",
-                                      "missing": ann}
-                print(f"[{model}/{ds}] SKIPPED — {ann} not found")
-                continue
-            try:
-                if not args.eval_only:
-                    train_main(["--cfg", cfg_name])
-                eval_args = ["--cfg", cfg_name, "--load-best"]
-                if args.bf16:
-                    eval_args.append("--bf16")
-                metrics = eval_main(eval_args)
-                cell = {"status": "ok",
-                        **{k: float(v) for k, v in metrics.items()},
-                        "reference_auc": REFERENCE_AUC[model][ds]}
-            except Exception as exc:  # keep filling the rest of the table
-                cell = {"status": f"FAILED({type(exc).__name__})",
-                        "error": str(exc)}
-            results[model][ds] = cell
-            print(f"[{model}/{ds}] {cell}")
+    try:
+        for model in args.models:
+            results[model] = {}
+            for ds in args.datasets:
+                cfg_name = CONFIGS[model][ds]
+                ann = _ann_file(cfg_name)
+                if not os.path.isfile(ann):
+                    results[model][ds] = {"status": "SKIPPED(no data)",
+                                          "missing": ann}
+                    print(f"[{model}/{ds}] SKIPPED — {ann} not found")
+                    continue
+                try:
+                    if not args.eval_only:
+                        train_main(["--cfg", cfg_name])
+                    eval_args = ["--cfg", cfg_name, "--load-best"]
+                    if args.bf16:
+                        eval_args.append("--bf16")
+                    metrics = eval_main(eval_args)
+                    cell = {"status": "ok",
+                            **{k: float(v) for k, v in metrics.items()},
+                            "reference_auc": REFERENCE_AUC[model][ds]}
+                except Exception as exc:  # keep filling the rest
+                    cell = {"status": f"FAILED({type(exc).__name__})",
+                            "error": str(exc)}
+                results[model][ds] = cell
+                print(f"[{model}/{ds}] {cell}")
+    finally:
+        os.chdir(prev_cwd)
 
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
 
     # measured-vs-reference table (AUC x100 like the png)

@@ -63,7 +63,14 @@ def main(argv=None):
     cv = crit.init(jax.random.PRNGKey(1), out0, sample1) if hasattr(
         crit, "init") else {}
     tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
-    template = TrainState.create(mv, cv, tx)
+    scaler = None
+    if cfg.TRAIN.get("loss_scale", False):
+        # the restore template's tree structure must match what the trainer
+        # saved — loss_scale runs checkpoint a DynamicLossScaler subtree
+        from litehandnet_tpu.train.precision import DynamicLossScaler
+
+        scaler = DynamicLossScaler.create()
+    template = TrainState.create(mv, cv, tx, loss_scaler=scaler)
     ckpt = CheckpointManager(run_dir(cfg), cfg)
     state, meta = ckpt.restore(template, best=args.load_best)
     if state is None:
@@ -152,6 +159,7 @@ def main(argv=None):
         saver.save_images_with_heatmap(
             batch["img"], last["output_heatmap"], name="pred_heatmaps.png"
         )
+    loader.close()
     return name_value
 
 

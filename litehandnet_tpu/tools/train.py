@@ -73,7 +73,12 @@ def main(argv=None):
             yield {k: v for k, v in b.items()
                    if k in ("img", "target", "target_weight", "simdr_x", "simdr_y")}
 
-    state = trainer.fit(state, train_batches, val_batches, seed=args.seed)
+    try:
+        state = trainer.fit(state, train_batches, val_batches,
+                            seed=args.seed)
+    finally:
+        train_loader.close()
+        val_loader.close()
     if is_chief():
         print("training complete", flush=True)
     return state

@@ -136,6 +136,10 @@ def make_train_step(
 
             new_trainable = keep_if_finite(new_trainable, trainable)
             new_opt_state = keep_if_finite(new_opt_state, state.opt_state)
+            # an overflowing forward also produces non-finite BN batch
+            # statistics — committing them would poison the running EMAs
+            # permanently while claiming the step was "skipped"
+            new_stats = keep_if_finite(new_stats, state.batch_stats)
         new_state = state.replace(
             step=state.step + 1,
             params=new_trainable["model"],
@@ -215,16 +219,22 @@ def globalize_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, P(axis))
-    return {
-        k: (
-            jax.make_array_from_process_local_data(
-                sharding, np.asarray(v)
-            )
-            if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
-            else v
+    return {k: _to_global(v, sharding) for k, v in batch.items()}
+
+
+def _to_global(v, sharding):
+    """Stitch one batch entry's process-local rows into a global array.
+
+    Multi-scale configs (srhandnet) carry LISTS of per-scale arrays
+    (device_pipeline.py) — each element is globalized, or the step would
+    mix a global img with process-local targets."""
+    if isinstance(v, (list, tuple)):
+        return type(v)(_to_global(e, sharding) for e in v)
+    if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(v)
         )
-        for k, v in batch.items()
-    }
+    return v
 
 
 _multihost_initialized = False

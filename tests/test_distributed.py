@@ -154,8 +154,15 @@ def test_loss_scaler_wired(rng):
             # (b) non-finite gradients: update skipped, scale halved
             bad = dict(batch, img=jnp.full_like(batch["img"], jnp.nan))
             before = jax.tree.leaves(state.params)
+            before_stats = jax.tree.leaves(state.batch_stats)
             state2, _ = step(state, bad, jax.random.fold_in(key, 9))
             for a, b in zip(before, jax.tree.leaves(state2.params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            # the overflowing forward's NaN batch statistics must NOT be
+            # committed — a "skipped" step may not poison the BN EMAs
+            for a, b in zip(
+                before_stats, jax.tree.leaves(state2.batch_stats)
+            ):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
             assert float(state2.loss_scaler.scale) == 2.0**9
             assert int(state2.loss_scaler.good_steps) == 0
@@ -218,3 +225,25 @@ print("OK")
     )
     assert proc.returncode == 0, proc.stderr
     assert "OK" in proc.stdout
+
+
+def test_to_global_handles_multiscale_lists():
+    """globalize_batch's converter must globalize LIST-valued entries
+    (srhandnet multi-scale targets from the device pipeline) element-wise —
+    skipping them would mix a global img with process-local targets in a
+    multi-host srhandnet run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from litehandnet_tpu.train.distributed import _to_global, make_mesh
+
+    mesh = make_mesh(2)
+    sharding = NamedSharding(mesh, P("data"))
+    scales = [np.ones((4, s, s, 24), np.float32) for s in (4, 8, 16)]
+    out = _to_global(scales, sharding)
+    assert isinstance(out, list) and len(out) == 3
+    for o, s in zip(out, scales):
+        assert isinstance(o, jax.Array) and o.shape == s.shape
+        assert o.sharding.spec == P("data")
+    # scalars and strings pass through untouched
+    assert _to_global(3, sharding) == 3
+    assert _to_global("path.jpg", sharding) == "path.jpg"

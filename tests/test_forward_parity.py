@@ -220,7 +220,7 @@ def test_forward_parity_mynet_stacked():
 
 
 @pytest.mark.slow
-def test_forward_parity_yolov6():
+def test_forward_parity_yolov6(monkeypatch):
     """YOLOv6 hand-OD branch (models/object_detection/yolov6/), yolov6n
     scaling (depth 0.33, width 0.25). The reference subtree is dead code
     with no configs, so the config namespace is constructed by hand
@@ -242,7 +242,11 @@ def test_forward_parity_yolov6():
 
     ref_loader.ensure_reference_importable()
     yolo = importlib.import_module("models.object_detection.yolov6.yolo")
-    yolo.Model.init_weights = lambda self, *a, **k: None
+    # patch via monkeypatch so the stub does not leak into later tests that
+    # import the reference class (undone at teardown)
+    monkeypatch.setattr(
+        yolo.Model, "init_weights", lambda self, *a, **k: None
+    )
     ns = types.SimpleNamespace
     refcfg = ns(model=ns(
         depth_multiple=0.33, width_multiple=0.25,

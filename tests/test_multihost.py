@@ -22,10 +22,14 @@ import sys
 import numpy as np
 import pytest
 
+import os.path as osp
+
+REPO_ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
 _WORKER = r"""
 import json, os, sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[3])  # repo root, passed by the spawning test
 pid, port = int(sys.argv[1]), sys.argv[2]
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -154,9 +158,9 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(p), port],
+            [sys.executable, str(worker), str(p), port, REPO_ROOT],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env, cwd="/root/repo",
+            env=env, cwd=REPO_ROOT,
         )
         for p in (0, 1)
     ]
