@@ -1,11 +1,12 @@
-"""Trained-MODEL equivalence vs the reference (torch, CPU) — the flagship.
+"""Trained-MODEL equivalence vs the reference (torch, CPU).
 
 The strongest "same trained model" evidence obtainable without real
-datasets on disk: start the reference torch LiteHandNet and the Flax
-rebuild from the SAME weights, train BOTH for 250 optimizer steps on the
-SAME learnable synthetic localization task (identical images, targets,
-batch order, and Adam schedule), then evaluate BOTH trained models through
-the same batched DARK decoder and require equal PCK@0.2 / AUC / EPE.
+datasets on disk: start the reference torch model and the Flax rebuild
+(flagship litehandnet + mynet, the two original architectures) from the
+SAME weights, train BOTH for hundreds of optimizer steps on the SAME
+learnable synthetic localization task (identical images, targets, batch
+order, and Adam schedule), then evaluate BOTH trained models through the
+same batched DARK decoder and require equal PCK@0.2 / AUC / EPE.
 
 This is deliberately different from tests/test_train_dynamics_parity.py
 (5 linear-regime steps with per-leaf state diffs): here the horizon is
@@ -26,10 +27,11 @@ a 32-image held-out split is also compared, loosely — at 8 training
 images generalization saturates low (~0.3) and is chaos-sensitive across
 frameworks, so only gross divergence is asserted there.
 
-Scope: flagship only (reduced width/depth — identical on both sides — to
-keep the twin run under ~10 min CPU). Family breadth is covered by the
-10-family battery in test_train_dynamics_parity.py; resnet18 was measured
-to memorize this task 4x slower, making its twin run CI-prohibitive.
+Scope: litehandnet + mynet (reduced width/depth — identical on both
+sides — keeps each twin run under ~6 min CPU). Family breadth is covered
+by the 10-family battery in test_train_dynamics_parity.py; resnet18 was
+measured to memorize this task 4x slower, making its twin run
+CI-prohibitive.
 """
 
 import itertools
@@ -49,12 +51,22 @@ pytestmark = pytest.mark.skipif(
 
 SIZE, HM, K = 64, 16, 21
 N_TRAIN, N_EVAL, BATCH = 8, 32, 8
-STEPS = 250
 LR = 2e-3
-REFCFG = "config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py"
-# reduced identically on BOTH sides: the equivalence claim is about the
-# training computation, not the config's width (convergence-e2e scale)
-MODEL_OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
+# width/depth reduced identically on BOTH sides: the equivalence claim is
+# about the training computation, not the config's width (convergence-e2e
+# scale). Steps chosen to saturate train-set PCK near 1.0 (measured:
+# litehandnet 0.99 at step 200; mynet 0.91 at 250-step pace, so 350)
+OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
+CASES = [
+    pytest.param(
+        "config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py",
+        "litehandnet", 250, marks=pytest.mark.slow,
+    ),
+    pytest.param(
+        "config/mynet/_2_freihand2d_224x224_dark.py",
+        "mynet", 350, marks=pytest.mark.slow,
+    ),
+]
 
 
 def _marker_colors():
@@ -118,8 +130,9 @@ def _decode_and_score(hm_nhwc, joints):
     return float(pck), float(auc), float(epe)
 
 
-@pytest.mark.slow
-def test_trained_model_equivalence_litehandnet(rng, monkeypatch):
+@pytest.mark.parametrize("refcfg_path,family,steps", CASES)
+def test_trained_model_equivalence(refcfg_path, family, steps, rng,
+                                   monkeypatch):
     import jax
     import jax.numpy as jnp
     import optax
@@ -129,10 +142,10 @@ def test_trained_model_equivalence_litehandnet(rng, monkeypatch):
     from litehandnet_tpu.models import get_model
     from litehandnet_tpu.utils.torch_import import import_torch_state_dict
 
-    refcfg = ref_loader.load_ref_config(REFCFG)
+    refcfg = ref_loader.load_ref_config(refcfg_path)
     refcfg.DATASET.image_size = [SIZE, SIZE]
     refcfg.DATASET.heatmap_size = [HM, HM]
-    for key, val in MODEL_OVERRIDES.items():
+    for key, val in OVERRIDES.items():
         refcfg.MODEL[key] = val
     tm = ref_loader.build_ref_model(refcfg)
     sane_reinit(tm)
@@ -149,9 +162,7 @@ def test_trained_model_equivalence_litehandnet(rng, monkeypatch):
     target_vars = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
     )
-    variables = import_torch_state_dict(
-        "litehandnet", tm.state_dict(), target_vars
-    )
+    variables = import_torch_state_dict(family, tm.state_dict(), target_vars)
     criterion = get_loss(cfg)
     crit_vars = criterion.init(
         jax.random.PRNGKey(1), jnp.zeros((BATCH, HM, HM, K)),
@@ -168,10 +179,10 @@ def test_trained_model_equivalence_litehandnet(rng, monkeypatch):
 
     order_rng = np.random.RandomState(11)
     batches = []
-    while len(batches) < STEPS:
+    while len(batches) < steps:
         perm = order_rng.permutation(N_TRAIN)
         batches += [perm[j:j + BATCH] for j in range(0, N_TRAIN, BATCH)]
-    batches = batches[:STEPS]
+    batches = batches[:steps]
 
     # --- torch side: reference model + criterion + Adam ------------------
     tm.train()
@@ -244,7 +255,7 @@ def test_trained_model_equivalence_litehandnet(rng, monkeypatch):
     # committed-evidence hook: printed so full-suite logs (TESTS_rN.txt,
     # run with -rA) record the measured numbers per round
     print(
-        f"\nTRAINED-EQUIVALENCE litehandnet {STEPS} steps | train-set: "
+        f"\nTRAINED-EQUIVALENCE {family} {steps} steps | train-set: "
         f"torch PCK={t_pck:.4f} AUC={t_auc:.4f} EPE={t_epe:.3f}px / "
         f"flax PCK={f_pck:.4f} AUC={f_auc:.4f} EPE={f_epe:.3f}px | "
         f"held-out PCK: torch={t_epck:.3f} flax={f_epck:.3f} | "
