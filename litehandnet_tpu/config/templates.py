@@ -187,5 +187,13 @@ def make_cfg(model: str, dataset: str, exp_id: int = 1, image_size=256,
         if field:
             cfg[section][field] = value
         else:
+            if section not in cfg:
+                # a bare unknown kwarg would otherwise become a junk
+                # top-level key that every consumer silently ignores —
+                # model/pipeline fields need dotted keys
+                raise KeyError(
+                    f"unknown config section {section!r}; field overrides "
+                    f"need dotted keys (e.g. 'MODEL.{section}')"
+                )
             cfg[section] = value
     return cfg

@@ -54,9 +54,10 @@ from litehandnet_tpu.config.templates import make_cfg
 
 
 def _get_cfg():
-    cfg = make_cfg("litehandnet", "freihand", exp_id=996, image_size=64,
-                   num_stage=3, num_block=[1, 1], input_channel=32,
-                   ca_type="se", reduction=2)
+    # registry-default litehandnet width (128ch, 4 stages): this exact
+    # configuration is the one measured to memorize the 8 samples to
+    # PCK >= 0.95 in 220 epochs (a 32ch reduction plateaus at ~0.87)
+    cfg = make_cfg("litehandnet", "freihand", exp_id=996, image_size=64)
     for split in ("train", "val", "test"):
         cfg["DATASET"][split] = dict(
             ann_file={str(root / "ann.json")!r},

@@ -1,0 +1,105 @@
+"""Checkpoint-migration CLI: reference .pth -> orbax run directory.
+
+Drives tools/import_checkpoint.py end to end: a reference-format torch
+checkpoint ({epoch, state_dict, ...}, dist_train.py:212-233, with DDP
+"module." prefixes) is imported into the experiment's run layout, then
+restored through the same CheckpointManager path tools/test.py uses, and
+the restored model's eval forward must match the torch model ~1e-5 —
+i.e. a reference-trained model becomes servable here with zero code.
+"""
+
+import numpy as np
+import pytest
+
+from tests import ref_loader
+from tests.test_forward_parity import sane_reinit, to_nhwc
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not ref_loader.reference_available(), reason="reference checkout absent"
+)
+
+
+@pytest.mark.slow
+def test_import_checkpoint_cli_roundtrip(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.losses import get_loss
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.tools.import_checkpoint import main as import_main
+    from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
+    from litehandnet_tpu.train.optim import make_optimizer_from_config
+    from litehandnet_tpu.train.state import TrainState
+
+    SIZE = 64
+
+    # reference torch model (resnet18 SimpleBaseline — its MODEL schema
+    # maps 1:1 onto the template) + reference-format .pth
+    refcfg = ref_loader.load_ref_config(
+        "config/resnet/_2_freihand2d_224x224_dark_resnet18.py"
+    )
+    refcfg.DATASET.image_size = [SIZE, SIZE]
+    refcfg.DATASET.heatmap_size = [SIZE // 4, SIZE // 4]
+    tm = ref_loader.build_ref_model(refcfg)
+    sane_reinit(tm)
+    tm.eval()
+    pth = tmp_path / "best_model.pth"
+    torch.save(
+        {
+            "epoch": 37,
+            "min_val_loss": 0.123,
+            # DDP checkpoints carry the module. prefix — must be stripped
+            "state_dict": {
+                f"module.{k}": v for k, v in tm.state_dict().items()
+            },
+        },
+        pth,
+    )
+
+    cfg_file = tmp_path / "exp_cfg.py"
+    cfg_file.write_text(f"""
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    cfg = make_cfg("resnet", "freihand", exp_id=995, image_size={SIZE},
+                   **{{"MODEL.depth": 18}})
+    cfg["CHECKPOINT"]["save_root"] = {str(tmp_path / "ckpts")!r}
+    return cfg
+""")
+
+    out_dir = import_main(["--cfg", str(cfg_file), "--pth", str(pth)])
+
+    # restore through the exact template construction tools/test.py uses
+    cfg = get_config(str(cfg_file))
+    assert out_dir == run_dir(cfg)
+    model = get_model(cfg)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3))
+    mv = model.init(jax.random.PRNGKey(0), x0, train=False)
+    crit = get_loss(cfg)
+    out0 = model.apply(mv, x0, train=False)
+    cv = crit.init(jax.random.PRNGKey(1), out0, {
+        "target": jnp.zeros_like(out0),
+        "target_weight": jnp.ones((1, out0.shape[-1])),
+    })
+    tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
+    template = TrainState.create(mv, cv, tx)
+    state, meta = CheckpointManager(out_dir, cfg).restore(
+        template, best=True
+    )
+    assert state is not None
+    assert meta["epoch"] == 37 and meta["min_val_loss"] == pytest.approx(
+        0.123
+    )
+
+    x = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = to_nhwc(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    got = np.asarray(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x), train=False,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
