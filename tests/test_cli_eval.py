@@ -45,7 +45,7 @@ from litehandnet_tpu.config.templates import make_cfg
 
 def _get_cfg():
     cfg = make_cfg("mynet_stacked", "freihand", exp_id=999, image_size=64,
-                   main_channels=32, hg_depth=3)
+                   **{{"MODEL.main_channels": 32, "MODEL.hg_depth": 3}})
     for split in ("train", "val", "test"):
         cfg["DATASET"][split] = dict(
             ann_file={str(ann_file)!r}, img_prefix={str(root) + "/"!r})

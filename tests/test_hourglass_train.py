@@ -46,7 +46,8 @@ from litehandnet_tpu.config.templates import make_cfg
 
 def _get_cfg():
     cfg = make_cfg("hourglass", "freihand", exp_id=997, image_size=64,
-                   num_stack=2, input_channel=64, num_level=3)
+                   **{{"MODEL.num_stack": 2, "MODEL.input_channel": 64,
+                       "MODEL.num_level": 3}})
     cfg["PIPELINE"]["sigma"] = [2, 2]  # reference list-sigma convention
     for split in ("train", "val", "test"):
         cfg["DATASET"][split] = dict(
