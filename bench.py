@@ -169,9 +169,10 @@ def input_budget_bench(n_images=1024):
     stages overlap; `--real-input` measures the actual overlap."""
     import os
 
-    # the stage loops slice paths[(r*B) % (n_images - B):][:B] — full
-    # batches at distinct offsets need at least 2 batches of images
-    assert n_images >= 256, "need >= 2 batches (B=128) of distinct images"
+    # the stage loops slice paths[(r*B) % (n_images - B):][:B] — distinct
+    # per-rep offsets need n_images - B to not divide r*B (at exactly 2B
+    # every rep would re-read the same warm-cache batch)
+    assert n_images > 256, "need > 2 batches (B=128) of distinct images"
 
     import jax
     import jax.numpy as jnp

@@ -279,30 +279,13 @@ def main(argv=None):
                              "chained; use with a large --batch, e.g. 128)")
     args = parser.parse_args(argv)
 
+    bench_fn = (bench_throughput if args.throughput
+                else bench_train_step if args.train
+                else bench_model)
     results = {}
-    if args.throughput:
-        for name in args.models:
-            try:
-                results[name] = bench_throughput(
-                    name, args.size, args.batch, args.bf16, args.reps
-                )
-                print(f"{name}: {json.dumps(results[name])}", flush=True)
-            except Exception as e:
-                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
-        return results
-    if args.train:
-        for name in args.models:
-            try:
-                results[name] = bench_train_step(
-                    name, args.size, args.batch, args.bf16, args.reps
-                )
-                print(f"{name}: {json.dumps(results[name])}", flush=True)
-            except Exception as e:
-                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
-        return results
     for name in args.models:
         try:
-            results[name] = bench_model(
+            results[name] = bench_fn(
                 name, args.size, args.batch, args.bf16, args.reps
             )
             print(f"{name}: {json.dumps(results[name])}", flush=True)

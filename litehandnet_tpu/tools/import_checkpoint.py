@@ -69,6 +69,9 @@ def main(argv=None):
     parser.add_argument("--slot", choices=["best", "latest", "both"],
                         default="both",
                         help="which checkpoint slot(s) to write")
+    parser.add_argument("--force", action="store_true",
+                        help="overwrite existing checkpoints in the run "
+                             "directory")
     args = parser.parse_args(argv)
 
     import torch
@@ -119,8 +122,22 @@ def main(argv=None):
     state = TrainState.create(mv, cv, tx, loss_scaler=scaler)
 
     out_dir = run_dir(cfg)
-    mgr = CheckpointManager(out_dir, cfg)
     slots = ("best", "latest") if args.slot == "both" else (args.slot,)
+    if not args.force:
+        # never silently clobber a trained run (best_model.pth equivalents)
+        import os
+
+        existing = [
+            s for s in slots if os.path.exists(os.path.join(
+                out_dir, "best" if s == "best" else "checkpoint"
+            ))
+        ]
+        if existing:
+            raise SystemExit(
+                f"refusing to overwrite existing checkpoint slot(s) "
+                f"{existing} in {out_dir}; pass --force to replace them"
+            )
+    mgr = CheckpointManager(out_dir, cfg)
     for slot in slots:
         mgr.save(state, epoch=epoch, min_val_loss=min_val_loss,
                  best=slot == "best", wait=True)

@@ -45,122 +45,126 @@ def main(argv=None):
     loader = DataLoader(
         cfg, "test", batch_size=args.batch_size, use_device_pipeline=True
     )
-    decoder = TopDownDecoder(cfg)
+    try:
+        decoder = TopDownDecoder(cfg)
 
-    # restore train-mode state, then fuse to the deploy graph when available
-    model = get_model(cfg)
-    crit = get_loss(cfg)
-    sample = next(iter(loader.batches(0)))
-    mv = model.init(jax.random.PRNGKey(0), jnp.asarray(sample["img"][:1]),
-                    train=False)
-    # pass the raw model output structure: each criterion knows its own
-    # shape (tuple of scales for SRHandNetLoss, stacked array for hourglass)
-    out0 = model.apply(mv, jnp.asarray(sample["img"][:1]), train=False)
-    sample1 = {
-        k: (np.asarray(v)[:1] if hasattr(v, "shape") else v)
-        for k, v in sample.items()
-    }
-    cv = crit.init(jax.random.PRNGKey(1), out0, sample1) if hasattr(
-        crit, "init") else {}
-    tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
-    scaler = None
-    if cfg.TRAIN.get("loss_scale", False):
-        # the restore template's tree structure must match what the trainer
-        # saved — loss_scale runs checkpoint a DynamicLossScaler subtree
-        from litehandnet_tpu.train.precision import DynamicLossScaler
-
-        scaler = DynamicLossScaler.create()
-    template = TrainState.create(mv, cv, tx, loss_scaler=scaler)
-    ckpt = CheckpointManager(run_dir(cfg), cfg)
-    state, meta = ckpt.restore(template, best=args.load_best)
-    if state is None:
-        print("no checkpoint found; evaluating random init", flush=True)
-        state = template
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-
-    if cfg.MODEL.name.lower() == "litehandnet":
-        # deploy-mode fusion (reference test.py:106-107)
-        model = get_model(cfg, deploy=True, dtype=dtype)
-        variables = fuse_params(variables)
-
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-
-    simdr_k = int(cfg.PIPELINE.get("simdr_split_ratio", 0) or 0)
-    results = []
-    simdr_results = []
-    for batch in loader.batches(0):
-        img = jnp.asarray(batch["img"], jnp.bfloat16 if args.bf16 else None)
-        outputs = fwd(variables, img)
-        meta_batch = {
-            k: batch[k]
-            for k in ("center", "scale", "image_file", "bbox_id", "bbox_score")
+        # restore train-mode state, then fuse to the deploy graph when available
+        model = get_model(cfg)
+        crit = get_loss(cfg)
+        sample = next(iter(loader.batches(0)))
+        mv = model.init(jax.random.PRNGKey(0), jnp.asarray(sample["img"][:1]),
+                        train=False)
+        # pass the raw model output structure: each criterion knows its own
+        # shape (tuple of scales for SRHandNetLoss, stacked array for hourglass)
+        out0 = model.apply(mv, jnp.asarray(sample["img"][:1]), train=False)
+        sample1 = {
+            k: (np.asarray(v)[:1] if hasattr(v, "shape") else v)
+            for k, v in sample.items()
         }
-        pred_x = pred_y = None
-        if isinstance(outputs, (tuple, list)):
-            if (
-                len(outputs) == 3
-                and getattr(outputs[-1], "ndim", 0) == 3
-            ):
-                # stacked mynet with SimDR heads: (hm_preds, pred_x, pred_y)
-                outputs, pred_x, pred_y = outputs
+        cv = crit.init(jax.random.PRNGKey(1), out0, sample1) if hasattr(
+            crit, "init") else {}
+        tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
+        scaler = None
+        if cfg.TRAIN.get("loss_scale", False):
+            # the restore template's tree structure must match what the trainer
+            # saved — loss_scale runs checkpoint a DynamicLossScaler subtree
+            from litehandnet_tpu.train.precision import DynamicLossScaler
+
+            scaler = DynamicLossScaler.create()
+        template = TrainState.create(mv, cv, tx, loss_scaler=scaler)
+        ckpt = CheckpointManager(run_dir(cfg), cfg)
+        state, meta = ckpt.restore(template, best=args.load_best)
+        if state is None:
+            print("no checkpoint found; evaluating random init", flush=True)
+            state = template
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        if cfg.MODEL.name.lower() == "litehandnet":
+            # deploy-mode fusion (reference test.py:106-107)
+            model = get_model(cfg, deploy=True, dtype=dtype)
+            variables = fuse_params(variables)
+
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+        simdr_k = int(cfg.PIPELINE.get("simdr_split_ratio", 0) or 0)
+        results = []
+        simdr_results = []
+        for batch in loader.batches(0):
+            img = jnp.asarray(batch["img"], jnp.bfloat16 if args.bf16 else None)
+            outputs = fwd(variables, img)
+            meta_batch = {
+                k: batch[k]
+                for k in ("center", "scale", "image_file", "bbox_id", "bbox_score")
+            }
+            pred_x = pred_y = None
             if isinstance(outputs, (tuple, list)):
-                outputs = outputs[-1]  # srhandnet finest scale / last stack
-        if outputs.ndim == 5:
-            outputs = outputs[:, -1]  # stacked hourglass: last stack
-        # drop region-map channels (center + w/h) when present
-        outputs = outputs[..., : cfg.DATASET.num_joints]
-        results.append(decoder.decode(meta_batch, np.asarray(outputs, np.float32)))
-        if simdr_k > 0 and pred_x is not None:
-            # fuse the SimDR decode alongside the heatmap decode (reference
-            # test.py:117-147; the reference's decode_simdr read the GT
-            # simdr targets from meta — here the MODEL's pred_x/y are used)
-            simdr_results.append(decoder.decode_simdr(
-                meta_batch, np.asarray(pred_x, np.float32),
-                np.asarray(pred_y, np.float32),
-            ))
+                if (
+                    len(outputs) == 3
+                    and getattr(outputs[-1], "ndim", 0) == 3
+                ):
+                    # stacked mynet with SimDR heads: (hm_preds, pred_x, pred_y)
+                    outputs, pred_x, pred_y = outputs
+                if isinstance(outputs, (tuple, list)):
+                    outputs = outputs[-1]  # srhandnet finest scale / last stack
+            if outputs.ndim == 5:
+                outputs = outputs[:, -1]  # stacked hourglass: last stack
+            # drop region-map channels (center + w/h) when present
+            outputs = outputs[..., : cfg.DATASET.num_joints]
+            results.append(decoder.decode(meta_batch, np.asarray(outputs, np.float32)))
+            if simdr_k > 0 and pred_x is not None:
+                # fuse the SimDR decode alongside the heatmap decode (reference
+                # test.py:117-147; the reference's decode_simdr read the GT
+                # simdr targets from meta — here the MODEL's pred_x/y are used)
+                simdr_results.append(decoder.decode_simdr(
+                    meta_batch, np.asarray(pred_x, np.float32),
+                    np.asarray(pred_y, np.float32),
+                ))
 
-    metric = cfg.EVAL.get("metric", ["PCK", "AUC", "EPE"])
-    name_value = loader.dataset.evaluate(results, metric=metric)
-    print(json.dumps({k: float(v) for k, v in name_value.items()}, indent=2))
+        metric = cfg.EVAL.get("metric", ["PCK", "AUC", "EPE"])
+        name_value = loader.dataset.evaluate(results, metric=metric)
+        print(json.dumps({k: float(v) for k, v in name_value.items()}, indent=2))
 
-    out_dir = args.vis_dir or run_dir(cfg)
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "best_pth_metric.json"), "w") as f:
-        json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
+        out_dir = args.vis_dir or run_dir(cfg)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "best_pth_metric.json"), "w") as f:
+            json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
 
-    if simdr_results:
-        simdr_metrics = loader.dataset.evaluate(simdr_results, metric=["AUC"])
-        print("SimDR:", json.dumps(
-            {k: float(v) for k, v in simdr_metrics.items()}, indent=2))
-        with open(os.path.join(out_dir, "simdr_metric.json"), "w") as f:
-            json.dump(
-                {k: float(v) for k, v in simdr_metrics.items()}, f, indent=2)
-        name_value = dict(name_value, **{
-            f"simdr_{k}": v for k, v in simdr_metrics.items()
-        })
+        if simdr_results:
+            simdr_metrics = loader.dataset.evaluate(simdr_results, metric=["AUC"])
+            print("SimDR:", json.dumps(
+                {k: float(v) for k, v in simdr_metrics.items()}, indent=2))
+            with open(os.path.join(out_dir, "simdr_metric.json"), "w") as f:
+                json.dump(
+                    {k: float(v) for k, v in simdr_metrics.items()}, f, indent=2)
+            name_value = dict(name_value, **{
+                f"simdr_{k}": v for k, v in simdr_metrics.items()
+            })
 
-    if args.vis_dir:
-        from litehandnet_tpu.utils.vis import SaveResultImages
+        if args.vis_dir:
+            from litehandnet_tpu.utils.vis import SaveResultImages
 
-        saver = SaveResultImages(loader.dataset, args.vis_dir)
-        last = results[-1]
-        hm_size = cfg.DATASET.heatmap_size
-        if hm_size and isinstance(hm_size[0], (list, tuple)):
-            hm_size = hm_size[-1]  # multi-scale (SRHandNet): finest scale
-        saver.save_images_with_joints(
-            batch["img"], last["hm_preds"] * (
-                np.asarray(cfg.DATASET.image_size)[None, None]
-                / np.asarray(hm_size)[None, None]
-            ),
-            None, name="pred_joints.png",
-        )
-        saver.save_images_with_heatmap(
-            batch["img"], last["output_heatmap"], name="pred_heatmaps.png"
-        )
-    loader.close()
-    return name_value
+            saver = SaveResultImages(loader.dataset, args.vis_dir)
+            last = results[-1]
+            hm_size = cfg.DATASET.heatmap_size
+            if hm_size and isinstance(hm_size[0], (list, tuple)):
+                hm_size = hm_size[-1]  # multi-scale (SRHandNet): finest scale
+            saver.save_images_with_joints(
+                batch["img"], last["hm_preds"] * (
+                    np.asarray(cfg.DATASET.image_size)[None, None]
+                    / np.asarray(hm_size)[None, None]
+                ),
+                None, name="pred_joints.png",
+            )
+            saver.save_images_with_heatmap(
+                batch["img"], last["output_heatmap"], name="pred_heatmaps.png"
+            )
+        return name_value
+    finally:
+        # release decode worker processes + shared memory even on
+        # mid-eval failure (reproduce_auc keeps going per cell)
+        loader.close()
 
 
 if __name__ == "__main__":

@@ -180,6 +180,9 @@ def main(argv=None):
             print(f"epoch {epoch}: {agg} best_pck={best_pck:.4f}", flush=True)
             ckpt.save(state, epoch, best=False)
     logger.close()
+    loader.close()
+    if val_loader is not None:
+        val_loader.close()
     return state
 
 

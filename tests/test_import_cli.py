@@ -73,6 +73,12 @@ def _get_cfg():
 
     out_dir = import_main(["--cfg", str(cfg_file), "--pth", str(pth)])
 
+    # a second import must refuse to clobber the existing slots without
+    # --force (a trained run's best/checkpoint must never be silently lost)
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        import_main(["--cfg", str(cfg_file), "--pth", str(pth)])
+    import_main(["--cfg", str(cfg_file), "--pth", str(pth), "--force"])
+
     # restore through the exact template construction tools/test.py uses
     cfg = get_config(str(cfg_file))
     assert out_dir == run_dir(cfg)
