@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--vis-dir", default=None)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--decode-procs", type=int, default=0,
+                        help="decode worker processes (0 = in-process)")
     args = parser.parse_args(argv)
 
     import jax
@@ -43,7 +45,8 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else None
 
     loader = DataLoader(
-        cfg, "test", batch_size=args.batch_size, use_device_pipeline=True
+        cfg, "test", batch_size=args.batch_size, use_device_pipeline=True,
+        decode_procs=args.decode_procs,
     )
     try:
         decoder = TopDownDecoder(cfg)

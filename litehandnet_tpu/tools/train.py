@@ -24,6 +24,11 @@ def main(argv=None):
                         help="multi-host coordinator address")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--decode-procs", type=int, default=0,
+                        help="decode worker PROCESSES (shared-memory pool, "
+                             "data/mp_decode.py) instead of the in-process "
+                             "thread pool; set ~cores-2 on a real TPU-VM "
+                             "host (0 = in-process)")
     args = parser.parse_args(argv)
 
     import jax
@@ -45,10 +50,11 @@ def main(argv=None):
     train_loader = DataLoader(
         cfg, "train", batch_size=local_batch, num_workers=args.workers,
         seed=args.seed + jax.process_index(),
+        decode_procs=args.decode_procs,
     )
     val_loader = DataLoader(
         cfg, "val", batch_size=local_batch, num_workers=args.workers,
-        seed=args.seed,
+        seed=args.seed, decode_procs=args.decode_procs,
     )
     steps_per_epoch = max(len(train_loader), 1)
     if is_chief():

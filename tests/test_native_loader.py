@@ -284,3 +284,71 @@ def test_process_decode_pool_matches_inprocess(imgdir):
                 i, diff.mean())
     finally:
         pool.close()
+
+
+def test_dataloader_decode_procs_matches_inprocess(tmp_path):
+    """DataLoader(decode_procs=N) — the tools/train.py --decode-procs path —
+    must produce the same batch geometry and tolerance-equal canvases as the
+    in-process decode, and close() must release the pool."""
+    from PIL import Image
+
+    from litehandnet_tpu.config import config_from_dict
+    from litehandnet_tpu.data.loader import DataLoader
+
+    rng = np.random.RandomState(5)
+    images, annotations = [], []
+    for i in range(4):
+        w, h = 320, 240
+        arr = np.asarray(Image.fromarray(
+            rng.randint(0, 255, (24, 24, 3), np.uint8)
+        ).resize((w, h), Image.BILINEAR), np.uint8)
+        fn = f"p{i:03d}.jpg"
+        Image.fromarray(arr).save(tmp_path / fn, quality=92)
+        images.append(dict(id=i, file_name=fn, width=w, height=h))
+        kpts = []
+        for x, y in rng.uniform(0.25, 0.75, (21, 2)) * [w, h]:
+            kpts += [float(x), float(y), 1]
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1, iscrowd=0, keypoints=kpts,
+            bbox=[w * 0.2, h * 0.2, w * 0.6, h * 0.6], area=w * h * 0.36,
+        ))
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )))
+
+    cfg = config_from_dict(dict(
+        MODEL=dict(name="litehandnet", output_channel=21),
+        DATASET=dict(
+            name="freihand", num_joints=21, image_size=[128, 128],
+            heatmap_size=[32, 32],
+            test=dict(ann_file=str(ann), img_prefix=str(tmp_path) + os.sep),
+        ),
+        PIPELINE=dict(flip_prob=0, rot_prob=0, scale_factor=0, sigma=2,
+                      encoding="MSRA"),
+        TRAIN=dict(batch_per_gpu=4),
+        EVAL=dict(metric=["PCK"]),
+    ))
+
+    def grab(procs):
+        with DataLoader(
+            cfg, "test", batch_size=4, use_device_pipeline=False,
+            num_workers=2, drop_last=False, decode_procs=procs,
+        ) as loader:
+            if procs:
+                assert loader.decode_pool is not None
+            batch = next(iter(loader.batches(0, prefetch=0)))
+        if procs:
+            assert loader.decode_pool is None  # close() released it
+        return batch
+
+    b_mp, b_ip = grab(2), grab(0)
+    for k in ("joints_canvas", "center_canvas", "scale_canvas", "offset",
+              "img_scale"):
+        np.testing.assert_allclose(b_mp[k], b_ip[k], rtol=0, atol=1e-5,
+                                   err_msg=k)
+    d = np.abs(
+        b_mp["img_raw"].astype(np.float32) - b_ip["img_raw"].astype(np.float32)
+    )
+    assert d.mean() < 3.0
