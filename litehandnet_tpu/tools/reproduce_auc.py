@@ -87,6 +87,9 @@ def main(argv=None):
                         help="skip training; evaluate existing best "
                              "checkpoints only")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--decode-procs", type=int, default=0,
+                        help="decode worker processes per loader "
+                             "(set ~cores-2 on a real TPU-VM host)")
     parser.add_argument("--out", default="auc_table.json")
     args = parser.parse_args(argv)
 
@@ -113,10 +116,11 @@ def main(argv=None):
                                           "missing": ann}
                     print(f"[{model}/{ds}] SKIPPED — {ann} not found")
                     continue
+                procs = ["--decode-procs", str(args.decode_procs)]
                 try:
                     if not args.eval_only:
-                        train_main(["--cfg", cfg_name])
-                    eval_args = ["--cfg", cfg_name, "--load-best"]
+                        train_main(["--cfg", cfg_name] + procs)
+                    eval_args = ["--cfg", cfg_name, "--load-best"] + procs
                     if args.bf16:
                         eval_args.append("--bf16")
                     metrics = eval_main(eval_args)
