@@ -62,8 +62,10 @@ def decode_bbox(center_heat, wh_map, offset_map, confidence=0.3,
     )
 
 
-def gaussian_radius(det_size, min_overlap=0.7) -> float:
-    """Minimal gaussian radius keeping IoU >= min_overlap (reference :150-171)."""
+def gaussian_radius(det_size, min_overlap=0.7) -> int:
+    """Minimal gaussian radius keeping IoU >= min_overlap
+    (reference :211-234, including its max(0, int(...)) truncation —
+    draw_gaussian consumes an integer radius)."""
     height, width = det_size
     a1 = 1
     b1 = height + width
@@ -79,7 +81,7 @@ def gaussian_radius(det_size, min_overlap=0.7) -> float:
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
     r3 = (b3 + np.sqrt(b3**2 - 4 * a3 * c3)) / 2
-    return min(r1, r2, r3)
+    return max(0, int(min(r1, r2, r3)))
 
 
 def draw_gaussian(heatmap: np.ndarray, center, radius: int, k: float = 1.0):
