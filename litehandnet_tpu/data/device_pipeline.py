@@ -110,15 +110,20 @@ def _hsv_to_rgb_cv(h, s, v):
 
 def hsv_augment(img: jnp.ndarray, key) -> jnp.ndarray:
     """YOLOX HSV aug on a [H, W, 3] RGB [0,255] image
-    (reference: random_hsv.py:20-44)."""
-    gains = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
-    h_gain, s_gain, v_gain = (
-        gains[0] * 5.0, gains[1] * 30.0, gains[2] * 30.0
-    )
+    (reference: random_hsv.py:20-44): each channel's gain is gated on/off
+    with p=1/2 (`hsv_gains *= np.random.randint(0, 2, 3)`) and truncated to
+    an integer (`astype(np.int16)`) — half the samples keep each channel
+    un-jittered, which the augmentation distribution depends on."""
+    k_gain, k_gate = jax.random.split(key)
+    gains = jax.random.uniform(
+        k_gain, (3,), minval=-1.0, maxval=1.0
+    ) * jnp.float32([5.0, 30.0, 30.0])
+    gate = jax.random.randint(k_gate, (3,), 0, 2).astype(jnp.float32)
+    gains = jnp.trunc(gains * gate)
     h, s, v = _rgb_to_hsv_cv(img)
-    h = (h + h_gain) % 180.0
-    s = jnp.clip(s + s_gain, 0.0, 255.0)
-    v = jnp.clip(v + v_gain, 0.0, 255.0)
+    h = (h + gains[0]) % 180.0
+    s = jnp.clip(s + gains[1], 0.0, 255.0)
+    v = jnp.clip(v + gains[2], 0.0, 255.0)
     return _hsv_to_rgb_cv(h, s, v)
 
 
@@ -288,26 +293,25 @@ class DevicePipeline:
                 joints=joints_c, center=center, scale=scale,
             )
             if self.with_region:
-                # warp the source bbox into crop space (corner transform;
-                # rotation is forced off for region configs,
-                # config/__init__.py:33-36)
+                # warp the source bbox into crop space: ALL FOUR corners
+                # through the affine, then the axis-aligned bound — exact
+                # under rotation too (pred_bbox configs force rotation off,
+                # config/__init__.py:103-107, but with_region_map configs
+                # like mynet_stacked keep rot_prob > 0, where a two-corner
+                # diagonal does not bound the rotated rectangle)
+                x0, y0 = bbox[0], bbox[1]
+                x1, y1 = bbox[0] + bbox[2], bbox[1] + bbox[3]
                 corners = jnp.stack([
-                    bbox[:2],
-                    bbox[:2] + bbox[2:],
+                    jnp.stack([x0, y0]), jnp.stack([x1, y0]),
+                    jnp.stack([x0, y1]), jnp.stack([x1, y1]),
                 ])
-                xy1 = jnp.concatenate([corners, jnp.ones((2, 1))], axis=-1)
+                xy1 = jnp.concatenate([corners, jnp.ones((4, 1))], axis=-1)
                 warped = jnp.einsum("ij,kj->ki", fwd, xy1)
+                x_lo, x_hi = jnp.min(warped[:, 0]), jnp.max(warped[:, 0])
+                y_lo, y_hi = jnp.min(warped[:, 1]), jnp.max(warped[:, 1])
                 # account for a horizontal flip of the crop
-                x_lo = jnp.minimum(warped[0, 0], warped[1, 0])
-                x_hi = jnp.maximum(warped[0, 0], warped[1, 0])
-                x_lo_f = (W - 1.0) - x_hi
-                x_lo = jnp.where(do_flip, x_lo_f, x_lo)
-                bbox_c = jnp.stack([
-                    x_lo,
-                    jnp.minimum(warped[0, 1], warped[1, 1]),
-                    jnp.abs(warped[1, 0] - warped[0, 0]),
-                    jnp.abs(warped[1, 1] - warped[0, 1]),
-                ])
+                x_lo = jnp.where(do_flip, (W - 1.0) - x_hi, x_lo)
+                bbox_c = jnp.stack([x_lo, y_lo, x_hi - x_lo, y_hi - y_lo])
                 sig0 = (
                     float(self.sigma[0])
                     if isinstance(self.sigma, (list, tuple))

@@ -65,7 +65,13 @@ def _group_by_tags(heatmaps, tag_maps, boxes, bbox_factor, feature_stride,
         cyi = jnp.clip(jnp.trunc(cy + 0.5).astype(jnp.int32), 0, H - 1)
         center_tag = tags[cyi, cxi, 0]
 
-        pick = jnp.argmin(jnp.abs(tag_k - center_tag), axis=1)  # [K]
+        # filler slots (top_k of a window smaller than bbox_k returns -inf
+        # values at arbitrary indices) must not compete in the tag match —
+        # their tags point at garbage cells outside the window
+        dist = jnp.where(
+            jnp.isfinite(val_k), jnp.abs(tag_k - center_tag), jnp.inf
+        )
+        pick = jnp.argmin(dist, axis=1)  # [K]
         sel = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
         idx = sel(idx_k)
         conf = sel(val_k)
@@ -93,8 +99,8 @@ def _adjust_quarter(keypoints, heatmaps):
     flat = heatmaps.reshape(B, H * W, K)
     x = jnp.trunc(keypoints[..., 0]).astype(jnp.int32)  # [B, M, K]
     y = jnp.trunc(keypoints[..., 1]).astype(jnp.int32)
-    xc = jnp.clip(x, 1, W - 2)
-    yc = jnp.clip(y, 1, H - 2)
+    xc = jnp.clip(x, 0, W - 1)
+    yc = jnp.clip(y, 0, H - 1)
 
     # gather per (B, M, K) at the matching joint channel
     def v(dx, dy):
@@ -103,13 +109,14 @@ def _adjust_quarter(keypoints, heatmaps):
         g = jnp.take_along_axis(flat, ii.reshape(B, -1, K)[:, :, :], axis=1)
         return g.reshape(ii.shape)
 
-    dx = jnp.sign(v(1, 0) - v(-1, 0)) * 0.25
-    dy = jnp.sign(v(0, 1) - v(0, -1)) * 0.25
-    interior = ((x > 0) & (x < W - 1) & (y > 0) & (y < H - 1)).astype(
-        jnp.float32
-    )
-    out = keypoints.at[..., 0].add(dx * interior)
-    out = out.at[..., 1].add(dy * interior)
+    # strict-greater comparison with CLAMPED neighbors, applied at borders
+    # too (reference HeatmapParser.py:212-220; no +0.5 in this lineage);
+    # padded invalid rows (conf 0) stay untouched
+    dx = jnp.where(v(1, 0) > v(-1, 0), 0.25, -0.25)
+    dy = jnp.where(v(0, 1) > v(0, -1), 0.25, -0.25)
+    valid = (keypoints[..., 2] > 0).astype(jnp.float32)
+    out = keypoints.at[..., 0].add(dx * valid)
+    out = out.at[..., 1].add(dy * valid)
     return out
 
 
@@ -145,6 +152,8 @@ class HeatmapParser:
             center, jnp.asarray(size_maps), self.num_candidates,
             self.feature_stride,
             wh_scale=jnp.asarray(self.image_size, jnp.float32),
+            # HeatmapParser.py:52-86: raw argmax centers, ratios clipped
+            refine="none", wh_clip=(0.0, 0.99),
         )
         boxes = masked_nms(
             cands, float(pcfg.iou_threshold), float(pcfg.detection_threshold),

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from litehandnet_tpu.config import pcfg
-from litehandnet_tpu.ops.decode import argmax_coords, refine_dark, refine_default
+from litehandnet_tpu.ops.decode import (
+    argmax_coords,
+    refine_dark,
+    refine_offset_gen1,
+)
 from litehandnet_tpu.ops.detect import (
     bbox_iou,
     candidate_bboxes,
@@ -33,7 +37,7 @@ from litehandnet_tpu.ops.detect import (
 
 @functools.partial(jax.jit, static_argnames=("use_dark", "kernel"))
 def _masked_keypoints(heatmaps, boxes, bbox_factor, feature_stride,
-                      use_dark=True, kernel=11):
+                      use_dark=True, kernel=19):
     """Keypoints per bbox window: mask the heatmap outside the (padded) box
     and decode (batched equivalent of reference _get_first_result,
     result_parser.py:296-320).
@@ -64,9 +68,12 @@ def _masked_keypoints(heatmaps, boxes, bbox_factor, feature_stride,
         masked = hm * mask[..., None]
         preds, maxvals = argmax_coords(masked[None])
         if use_dark:
+            # reference get_pred_kpt -> adjust_keypoints_by_DARK with
+            # pcfg['blue_kernel'] = 19 (heatmap_post_processing.py:35-54)
             preds = refine_dark(masked[None], preds, kernel=kernel)
         else:
-            preds = refine_default(masked[None], preds)
+            # reference adjust_keypoints_by_offset: clamped ±0.25 + 0.5
+            preds = refine_offset_gen1(masked[None], preds)
         kpt = jnp.concatenate([preds[0] * feature_stride, maxvals[0]], axis=-1)
         return kpt * (box[4] > 0)
 
@@ -115,6 +122,9 @@ class ResultParser:
                 self.feature_stride, wh_scale=jnp.asarray(
                     self.image_size, jnp.float32
                 ),
+                # centers refine like keypoints do (result_parser.py:158-163)
+                refine="dark" if self.use_dark else "offset",
+                kernel=int(pcfg.dark_kernel),
             )
             return masked_nms(
                 cands, self.iou_threshold, self.detection_threshold,

@@ -70,6 +70,30 @@ def refine_default(heatmaps: jnp.ndarray, preds: jnp.ndarray) -> jnp.ndarray:
     return preds + shift * interior.astype(jnp.float32)[..., None]
 
 
+def refine_offset_gen1(
+    heatmaps: jnp.ndarray, preds: jnp.ndarray, half_shift: bool = True
+) -> jnp.ndarray:
+    """Gen-1 ±0.25 refinement (reference heatmap_post_processing.py:6-33,
+    adjust_keypoints_by_offset): neighbor lookups CLAMP at the border (the
+    shift applies everywhere, unlike refine_default's interior-only gate)
+    and both coordinates gain an unconditional +0.5 pixel-center shift.
+    half_shift=False gives the HeatmapParser.adjust_keypoints variant
+    (HeatmapParser.py:197-223): same clamped ±0.25, no +0.5.
+    """
+    B, H, W, K = heatmaps.shape
+    flat = heatmaps.reshape(B, H * W, K)
+    px = jnp.clip(jnp.trunc(preds[..., 0]).astype(jnp.int32), 0, W - 1)
+    py = jnp.clip(jnp.trunc(preds[..., 1]).astype(jnp.int32), 0, H - 1)
+    right = _gather_hm(flat, jnp.minimum(px + 1, W - 1), py, W)
+    left = _gather_hm(flat, jnp.maximum(px - 1, 0), py, W)
+    down = _gather_hm(flat, px, jnp.minimum(py + 1, H - 1), W)
+    up = _gather_hm(flat, px, jnp.maximum(py - 1, 0), W)
+    half = 0.5 if half_shift else 0.0
+    sx = jnp.where(right > left, 0.25, -0.25) + half
+    sy = jnp.where(down > up, 0.25, -0.25) + half
+    return preds + jnp.stack([sx, sy], axis=-1)
+
+
 def refine_dark(
     heatmaps: jnp.ndarray, preds: jnp.ndarray, kernel: int = 11
 ) -> jnp.ndarray:

@@ -41,17 +41,18 @@ def vector_nms(vectors: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
 
 
 def smooth_avg_pool(x: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
-    """Size-preserving average pooling ([B, H, W, C])."""
+    """Size-preserving average pooling ([B, H, W, C]).
+
+    Divides by kernel^2 everywhere — torch's AvgPool2d default
+    count_include_pad=True, which the reference relies on
+    (result_parser.py:20-23): border cells average zeros in, so decoded
+    box sizes shrink toward the map edge rather than inflating."""
     pad = (kernel - 1) // 2
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, 1, 1, 1),
         [(0, 0), (pad, pad), (pad, pad), (0, 0)],
     )
-    n = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, (1, kernel, kernel, 1),
-        (1, 1, 1, 1), [(0, 0), (pad, pad), (pad, pad), (0, 0)],
-    )
-    return s / n
+    return s / float(kernel * kernel)
 
 
 def candidate_bboxes(
@@ -61,9 +62,15 @@ def candidate_bboxes(
     feature_stride: float = 4.0,
     wh_scale=None,
     refine: str = "offset",
+    kernel: int = 19,
+    wh_clip=None,
 ) -> jnp.ndarray:
     """Top-k candidate boxes from center + size maps
-    (reference: result_parser.py:131-172).
+    (reference: result_parser.py:131-172, HeatmapParser.py:52-86).
+
+    The w/h lookup happens at the RAW integer argmax cell, BEFORE center
+    refinement — matching the reference's ordering (it reads size_maps at
+    the int top-k coordinate, then refines the center).
 
     Args:
         center_maps: [B, H, W, 1] peak-NMS'ed center heatmap.
@@ -72,41 +79,44 @@ def candidate_bboxes(
             size (generateTarget.py:351-353) -> pass
             wh_scale=(img_w, img_h); Gen-1 center-SimDR targets store
             heatmap pixels -> wh_scale=feature_stride (the default).
-        refine: 'offset' (+-0.25 toward gradient) | 'none'.
+        refine: 'dark' (blur+log+Taylor, adjust_keypoints_by_DARK) |
+            'offset' (clamped ±0.25 + 0.5, adjust_keypoints_by_offset) |
+            'none' (HeatmapParser takes the raw argmax).
+        kernel: DARK blur kernel (reference pcfg['blue_kernel'] = 19).
+        wh_clip: optional (lo, hi) ratio clip (HeatmapParser.py clips
+            0..0.99; the ResultParser lineage does not).
 
     Returns:
         [B, k, 5] (cx, cy, w, h, conf) in input-image pixels.
     """
+    from litehandnet_tpu.ops.decode import refine_dark, refine_offset_gen1
+
     B, H, W, _ = center_maps.shape
     flat = center_maps[..., 0].reshape(B, H * W)
     top_val, top_idx = jax.lax.top_k(flat, num_candidates)  # [B, k]
     x = (top_idx % W).astype(jnp.float32)
     y = (top_idx // W).astype(jnp.float32)
 
-    if refine == "offset":
-        # +-0.25 shift toward the gradient sign on the center map
-        # (reference: heatmap_post_processing.py:6-38)
-        cm = center_maps[..., 0].reshape(B, H * W)
-        xi = jnp.clip(x.astype(jnp.int32), 1, W - 2)
-        yi = jnp.clip(y.astype(jnp.int32), 1, H - 2)
-        v = lambda dx_, dy_: jnp.take_along_axis(
-            cm, (yi + dy_) * W + (xi + dx_), axis=1
-        )
-        dx = jnp.sign(v(1, 0) - v(-1, 0)) * 0.25
-        dy = jnp.sign(v(0, 1) - v(0, -1)) * 0.25
-        interior = (
-            (x > 1) & (x < W - 1) & (y > 1) & (y < H - 1)
-        ).astype(jnp.float32)
-        x = x + dx * interior
-        y = y + dy * interior
-
+    # w/h read at the raw argmax cell (before refinement)
     smoothed = smooth_avg_pool(size_maps, 3)  # [B, H, W, 2]
     flat_wh = smoothed.reshape(B, H * W, 2)
-    xi = jnp.clip(jnp.trunc(x).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.trunc(y).astype(jnp.int32), 0, H - 1)
-    wh = jnp.take_along_axis(
-        flat_wh, (yi * W + xi)[..., None], axis=1
-    )  # [B, k, 2]
+    wh = jnp.take_along_axis(flat_wh, top_idx[..., None], axis=1)  # [B,k,2]
+    if wh_clip is not None:
+        wh = jnp.clip(wh, wh_clip[0], wh_clip[1])
+
+    if refine != "none":
+        # refine the centers exactly as the Gen-1 keypoint path does
+        # (reference result_parser.py:158-163 feeds each candidate through
+        # adjust_keypoints_by_DARK / adjust_keypoints_by_offset)
+        preds = jnp.stack([x, y], axis=-1)  # [B, k, 2]
+        cm = jnp.broadcast_to(
+            center_maps, (B, H, W, num_candidates)
+        )  # per-candidate channel view of the same map
+        if refine == "dark":
+            preds = refine_dark(cm, preds, kernel=kernel)
+        else:
+            preds = refine_offset_gen1(cm, preds)
+        x, y = preds[..., 0], preds[..., 1]
 
     if wh_scale is None:
         wh_scale = (feature_stride, feature_stride)

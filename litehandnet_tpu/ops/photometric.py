@@ -95,16 +95,38 @@ def mosaic4(images: jnp.ndarray, joints: jnp.ndarray, vis: jnp.ndarray,
         (mosaic [out, out, 3], joints [4K, 2], vis [4K])
     """
     S = images.shape[1]
-    canvas = jnp.zeros((2 * S, 2 * S, 3), images.dtype)
-    offsets = jnp.array([[0, 0], [S, 0], [0, S], [S, S]])
+    # jittered mosaic center in [0.5S, 1.5S] (reference mosaic.py picks the
+    # joint point of the four images uniformly in the canvas middle half);
+    # image i touches the center from its quadrant side and is clipped at
+    # the canvas border — realized fixed-shape by compositing on a padded
+    # 3S canvas (every placement stays in bounds) and slicing the central
+    # 2S window, which equals border clipping
+    kx, ky = jax.random.split(key)
+    cx = jax.random.randint(kx, (), S // 2, S + S // 2 + 1)
+    cy = jax.random.randint(ky, (), S // 2, S + S // 2 + 1)
+    offsets = jnp.stack([
+        jnp.stack([cx - S, cy - S]), jnp.stack([cx, cy - S]),
+        jnp.stack([cx - S, cy]), jnp.stack([cx, cy]),
+    ])  # [4, 2] canvas coords of each image's top-left corner
+    pad = S // 2
+    canvas3 = jnp.zeros((3 * S, 3 * S, 3), images.dtype)
     for i in range(4):
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, images[i], (offsets[i, 1], offsets[i, 0], 0)
+        canvas3 = jax.lax.dynamic_update_slice(
+            canvas3, images[i], (offsets[i, 1] + pad, offsets[i, 0] + pad, 0)
         )
+    canvas = jax.lax.dynamic_slice(canvas3, (pad, pad, 0), (2 * S, 2 * S, 3))
     all_joints = jnp.concatenate(
-        [joints[i] + offsets[i][None, :] for i in range(4)], axis=0
+        [joints[i] + offsets[i][None, :].astype(joints.dtype)
+         for i in range(4)], axis=0,
     )
     all_vis = jnp.concatenate([vis[i] for i in range(4)], axis=0)
+    # joints clipped off the canvas become invisible (reference filters
+    # labels to the mosaic bounds)
+    inside = (
+        (all_joints[:, 0] >= 0) & (all_joints[:, 0] < 2 * S)
+        & (all_joints[:, 1] >= 0) & (all_joints[:, 1] < 2 * S)
+    )
+    all_vis = all_vis * inside.astype(all_vis.dtype)
     scale = out_size / (2.0 * S)
     out = jax.image.resize(
         canvas.astype(jnp.float32), (out_size, out_size, 3), method="bilinear"

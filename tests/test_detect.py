@@ -1,6 +1,7 @@
 """Detection stack: region-map bbox decode, fixed-size NMS, AP, ResultParser
 multi-hand pipeline with cycle detection."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -193,3 +194,130 @@ def test_multihand_pck_parity_with_reference(rng):
     ))
     ours = ResultParser(cfg, cd_enabled=False).evaluate_pck(pred, gt, boxes)
     np.testing.assert_allclose(ours, ref_pck, rtol=1e-6)
+
+
+def test_smooth_avg_pool_matches_torch_avgpool(rng):
+    """count_include_pad semantics: the reference relies on
+    nn.AvgPool2d(3,1,1)'s default (divide by 9 even at borders,
+    result_parser.py:20-23); dividing by the in-bounds count instead
+    inflates border sizes up to 2.25x."""
+    torch = pytest.importorskip("torch")
+    from litehandnet_tpu.ops.detect import smooth_avg_pool
+
+    x = rng.uniform(0, 1, (2, 16, 16, 2)).astype(np.float32)
+    got = np.asarray(smooth_avg_pool(jnp.asarray(x), 3))
+    want = torch.nn.AvgPool2d(3, 1, 1)(
+        torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("dark", [True, False])
+def test_candidate_bbox_parity_with_reference(rng, dark):
+    """candidate_bboxes must match the reference candidate-box flow
+    (result_parser.py:131-172): top-k centers, w/h gathered at the RAW
+    argmax cell via count_include_pad average pooling, then center
+    refinement — DARK (blur kernel pcfg['blue_kernel']=19) or the Gen-1
+    clamped ±0.25 + 0.5 offset.
+
+    Two reference defects shape what is comparable (PARITY.md):
+    * its non-DARK branch crashes as shipped (torch.from_numpy on a
+      Tensor, result_parser.py:164), so the offset expectation is
+      assembled from adjust_keypoints_by_offset directly;
+    * its DARK branch blurs the center map IN PLACE through a shared
+      -memory .numpy() view, so candidate i refines against an
+      i-times-blurred map — candidate 0 is compared exactly, later
+      candidates' centers to sub-pixel tolerance (wh/conf stay exact).
+    """
+    if not ref_loader.reference_available():
+        pytest.skip("reference absent")
+    torch = pytest.importorskip("torch")
+    import sys, types
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    ref_loader.ensure_reference_importable()
+    ref = ref_loader._load("utils/result_parser.py", "_ref_rp_cand")
+    import importlib
+
+    hpp = importlib.import_module("utils.heatmap_post_processing")
+
+    B, H, W, K_CAND = 2, 48, 48, 5
+    # distinct-amplitude peaks (no top-k ties -> deterministic ordering on
+    # both sides) on a smooth background, then reference max-pool NMS; the
+    # SAME nms'ed array feeds both implementations
+    yy, xx = np.mgrid[:H, :W].astype(np.float32)
+    center = np.zeros((B, H, W, 1), np.float32)
+    peaks = [(10, 12), (30, 8), (22, 35), (40, 40), (5, 42)]
+    for b in range(B):
+        for i, (py, px) in enumerate(peaks):
+            amp = 0.95 - 0.13 * i + 0.01 * b
+            center[b, ..., 0] += amp * np.exp(
+                -((xx - px) ** 2 + (yy - py) ** 2) / (2 * 2.5**2)
+            )
+    size_maps = rng.uniform(0.5, 8.0, (B, H, W, 2)).astype(np.float32)
+
+    ref_cfg = dict(
+        image_size=[W * 4, H * 4], hm_size=[H, W], model="mynet",
+        simdr_split_ratio=2, bbox_alpha=1.0, with_region_map=False,
+        cycle_detection_reduction=2, DARK=dark,
+    )
+    parser = ref.ResultParser(ref_cfg)
+    parser.num_candidates = K_CAND
+
+    c_t = torch.from_numpy(center.transpose(0, 3, 1, 2))
+    nmsed_t = parser.heatmap_nms(c_t.clone())
+    # COPY before the reference runs: adjust_keypoints_by_DARK blurs the
+    # center map in place through a shared-memory numpy view
+    nmsed = nmsed_t.numpy().transpose(0, 2, 3, 1).copy()
+    size_t = torch.from_numpy(size_maps.transpose(0, 3, 1, 2))
+
+    flat = torch.from_numpy(nmsed.reshape(B, -1).copy())
+    top_val, top_idx = torch.topk(flat, k=K_CAND)
+    cx = (top_idx % W).float()
+    cy = (top_idx // W).float()
+    sm = parser.avg_pool(size_t)
+    wh = torch.zeros(B, K_CAND, 2)
+    for bi in range(B):
+        for ki in range(K_CAND):
+            x_i, y_i = int(cx[bi, ki]), int(cy[bi, ki])
+            wh[bi, ki, 0] = sm[bi, 0, y_i, x_i]
+            wh[bi, ki, 1] = sm[bi, 1, y_i, x_i]
+    if dark:
+        # assemble per-candidate from the reference's own
+        # adjust_keypoints_by_DARK against a FRESH map each time: the
+        # shipped candidate_bbox blurs the live center map in place through
+        # a shared-memory .numpy() view, so candidate i refines against an
+        # i-times-blurred map — an accidental defect, not semantics
+        # (documented in PARITY.md; not replicated)
+        kpts = torch.stack([cx, cy], dim=-1)
+        ref_centers = torch.zeros_like(kpts)
+        for i in range(K_CAND):
+            cm_fresh = torch.from_numpy(nmsed.transpose(0, 3, 1, 2).copy())
+            out_i = hpp.adjust_keypoints_by_DARK(
+                kpts[:, i:i + 1].clone(), cm_fresh
+            )
+            ref_centers[:, i] = torch.as_tensor(out_i)[:, 0]
+        want = torch.cat(
+            [ref_centers * 4.0, wh * 4.0, top_val[..., None]], dim=-1
+        ).numpy()
+    else:
+        # the reference's own offset branch crashes as shipped
+        # (torch.from_numpy on a Tensor, result_parser.py:164); assemble
+        # from adjust_keypoints_by_offset directly
+        kpts = torch.stack([cx, cy], dim=-1)
+        cm_t = torch.from_numpy(nmsed.transpose(0, 3, 1, 2).copy())
+        for i in range(K_CAND):
+            # one candidate at a time against the [B, 1, H, W] center map,
+            # exactly as candidate_bbox loops (result_parser.py:158-163)
+            hpp.adjust_keypoints_by_offset(kpts[:, i:i + 1], cm_t)
+        want = torch.cat(
+            [kpts * 4.0, wh * 4.0, top_val[..., None]], dim=-1
+        ).numpy()
+
+    from litehandnet_tpu.ops.detect import candidate_bboxes
+
+    got = np.asarray(candidate_bboxes(
+        jnp.asarray(nmsed), jnp.asarray(size_maps), K_CAND,
+        feature_stride=4.0, refine="dark" if dark else "offset", kernel=19,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
