@@ -22,6 +22,7 @@ from litehandnet_tpu.ops.encode import (  # noqa: F401
 from litehandnet_tpu.ops.decode import (  # noqa: F401
     argmax_coords,
     refine_default,
+    refine_offset_gen1,
     refine_dark,
     refine_dark_udp,
     keypoints_from_heatmaps,
