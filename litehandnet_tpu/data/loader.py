@@ -173,8 +173,10 @@ class DataLoader:
     Args:
         cfg: experiment config.
         data_type: 'train' | 'val' | 'test'.
-        batch_size: GLOBAL batch size (cfg.TRAIN.batch_per_gpu x devices when
-            None).
+        batch_size: PER-PROCESS batch size (cfg.TRAIN.batch_per_gpu x LOCAL
+            devices when None). Each process yields its own shard;
+            `train.distributed.globalize_batch` stitches the shards into
+            the global array in multi-host runs.
         canvas_hw: static (H0, W0) decode canvas; defaults to the dataset's
             input size x2 (top-down sources are larger than the crop).
         use_device_pipeline: run augmentation/encoding on device and yield
@@ -222,10 +224,18 @@ class DataLoader:
             self.pipeline = DevicePipeline(
                 cfg, self.dataset.ann_info["flip_index"], is_train=self.is_train
             )
-        # per-process shard (DistributedSampler analogue)
+        # per-process shard (DistributedSampler analogue). Like torch's
+        # DistributedSampler, the dataset is PADDED (wrapping around) so
+        # every process holds exactly ceil(n/nproc) indices — unequal
+        # shards would let one process dispatch a train step (a pmean
+        # collective) the others never join, deadlocking multi-host runs,
+        # and would bake different steps_per_epoch into each process's
+        # LR schedule.
         n = len(self.dataset)
         proc, nproc = jax.process_index(), jax.process_count()
-        self.local_indices = np.arange(proc, n, nproc)
+        per_proc = -(-n // nproc)
+        padded = np.resize(np.arange(n), per_proc * nproc)  # wraps around
+        self.local_indices = padded[proc::nproc]
         # optional process-sharded decode (reference torch DataLoader worker
         # processes, datasets/dataloader.py:7-55): N OS workers writing into
         # shared memory, lifting the host-Python/GIL ceiling on multi-core
@@ -260,7 +270,10 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _decode_batch(self, records, pool):
-        """Decode a batch of records into canvases + geometry.
+        """Decode a batch of records into a stacked [N, H0, W0, 3] canvas
+        array + geometry (one materialization — the canvases land stacked
+        in every path, so the consumer never re-copies this ~tens-of-MB
+        buffer on the host-bound loader thread).
 
         Fast path: the native C++ batched libjpeg-turbo ROI decoder
         (litehandnet_tpu/native). Any image it cannot handle (PNG, CMYK,
@@ -277,7 +290,7 @@ class DataLoader:
             )
             # copy out of the shared block: prefetch_iter overlaps batches,
             # and the next decode() reuses the same memory
-            return list(np.array(canv, copy=True)), off, fsc
+            return np.array(canv, copy=True), off, fsc
         if self.use_native:
             centers = np.stack(
                 [np.asarray(r["center"], np.float32) for r in records]
@@ -292,7 +305,7 @@ class DataLoader:
                 n_threads=self.num_workers,
             )
             if (status == 0).all():
-                return list(canv), off.astype(np.float32), fsc.astype(np.float32)
+                return canv, off.astype(np.float32), fsc.astype(np.float32)
             for i in np.nonzero(status)[0]:
                 r = records[i]
                 canv[i], off[i], fsc[i] = _load_image(
@@ -300,7 +313,7 @@ class DataLoader:
                     center=r["center"], scale=r["scale"],
                     margin=self.roi_margin,
                 )
-            return list(canv), off.astype(np.float32), fsc.astype(np.float32)
+            return canv, off.astype(np.float32), fsc.astype(np.float32)
         loaded = list(
             pool.map(
                 lambda r: _load_image(
@@ -311,7 +324,7 @@ class DataLoader:
                 records,
             )
         )
-        images = [im for im, _, _ in loaded]
+        images = np.stack([im for im, _, _ in loaded])
         offset = np.stack([o for _, o, _ in loaded])
         fscale = np.stack([f for _, _, f in loaded])
         return images, offset, fscale
@@ -329,7 +342,7 @@ class DataLoader:
             for r in records
         ])
         batch = {
-            "img_raw": np.stack(images),
+            "img_raw": np.ascontiguousarray(images),
             # original-image coords (eval/decode space)
             "joints": joints,
             "center": center,
@@ -349,7 +362,12 @@ class DataLoader:
             ),
             "rotation": np.zeros(len(records), np.float32),
             "image_file": [r["image_file"] for r in records],
-            "bbox_id": np.asarray([r.get("bbox_id", i) for i, r in enumerate(records)]),
+            # fallback = the DATASET-GLOBAL record index: a batch-local
+            # enumerate would collide across batches and the evaluator's
+            # bbox_id dedup would collapse the epoch to one batch
+            "bbox_id": np.asarray([
+                r.get("bbox_id", int(gi)) for gi, r in zip(idxs, records)
+            ]),
             "bbox_score": np.asarray(
                 [r.get("bbox_score", 1.0) for r in records], np.float32
             ),

@@ -41,8 +41,25 @@ class CheckpointManager:
         self.cfg = cfg
         if cfg is not None:
             cfg_path = os.path.join(self.directory, "config.json")
-            with open(cfg_path, "w") as f:
-                json.dump(cfg.to_dict(), f, indent=2, default=str)
+            # cross-check BEFORE overwriting (reference dist_train.py:102-103
+            # compares the checkpointed cfg on resume): blindly rewriting
+            # config.json first would make the resume-time ID check compare
+            # the new config against itself and always pass
+            if os.path.exists(cfg_path):
+                try:
+                    with open(cfg_path) as f:
+                        saved_id = json.load(f).get("ID")
+                except (OSError, ValueError):
+                    saved_id = None
+                if saved_id is not None and saved_id != cfg.get("ID"):
+                    raise ValueError(
+                        f"run directory {self.directory} belongs to config "
+                        f"ID={saved_id}, not ID={cfg.get('ID')} — refusing "
+                        "to mix experiments in one run dir"
+                    )
+            if jax.process_index() == 0:
+                with open(cfg_path, "w") as f:
+                    json.dump(cfg.to_dict(), f, indent=2, default=str)
 
     def _slot(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -56,10 +73,14 @@ class CheckpointManager:
         }
         name = "best" if best else "checkpoint"
         path = self._slot(name)
+        # collective: EVERY process must call save (orbax barriers
+        # internally and elects the primary writer); only the chief
+        # writes the side-car meta file
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+        if jax.process_index() == 0:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
 
     def restore(self, state_template, best: bool = False):
         """Restore (state, meta). Returns (None, None) when absent."""

@@ -50,6 +50,11 @@ def make_lr_schedule(
         main = optax.piecewise_constant_schedule(base_lr, boundaries_and_scales)
 
     if warmup_steps > 0:
+        # join_schedules shifts `main` by warmup_steps — deliberate: the
+        # reference's warmup is a SEPARATE pre-epoch training pass
+        # (topdown_trainer.py:43-66, called before the epoch loop at
+        # dist_train.py:150-158), so its epoch-indexed decay boundaries are
+        # likewise delayed by the warmup phase in optimizer-step terms
         warm = optax.linear_schedule(
             init_value=base_lr / max(warmup_steps, 1),
             end_value=base_lr,

@@ -170,10 +170,14 @@ class Trainer:
                 # diagnostic a criterion chooses to report
                 val_loss = val_metrics.get("loss", np.nan)
                 msg += f" val_loss={val_loss:.5f}"
-                if is_chief() and val_loss < self.min_val_loss:
+                # NOT chief-gated: orbax save is a cross-process barrier
+                # (every process must enter; orbax elects the writer). The
+                # gate value is the pmean'ed val loss, identical on every
+                # process, so all processes take the same branch.
+                if val_loss < self.min_val_loss:
                     self.min_val_loss = val_loss
                     self.ckpt.save(state, epoch, self.min_val_loss, best=True)
-            if is_chief() and (epoch + 1) % ckpt_interval == 0:
+            if (epoch + 1) % ckpt_interval == 0:
                 self.ckpt.save(state, epoch, self.min_val_loss)
             if is_chief():
                 print(msg, flush=True)

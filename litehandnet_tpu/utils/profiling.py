@@ -59,9 +59,11 @@ def parameter_histograms(params, bins: int = 50) -> dict:
     import jax
 
     out = {}
+    from litehandnet_tpu.utils.tree import keypath_name
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
-        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        name = keypath_name(path)
         arr = np.asarray(leaf).ravel()
         hist, edges = np.histogram(arr, bins=bins)
         out[name] = dict(

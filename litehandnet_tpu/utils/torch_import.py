@@ -176,8 +176,7 @@ def fill_variables(target, imported, rtol_shapes=True):
     tgt_flat = jax.tree_util.tree_flatten_with_path(target)[0]
     imp_flat = jax.tree_util.tree_flatten_with_path(imported)[0]
 
-    def norm(path):
-        return tuple(str(p.key) for p in path if hasattr(p, "key"))
+    from litehandnet_tpu.utils.tree import keypath_parts as norm
 
     imp = {norm(p): leaf for p, leaf in imp_flat}
     leaves = []

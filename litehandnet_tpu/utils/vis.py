@@ -25,15 +25,27 @@ def denormalize(img: np.ndarray) -> np.ndarray:
 
 
 def draw_keypoints(img: np.ndarray, joints, skeleton=None,
-                   kpt_colors=None, link_colors=None, radius=2):
-    """Draw joints + skeleton on a uint8 RGB image (returns a copy)."""
+                   kpt_colors=None, link_colors=None, radius=2,
+                   visible=None):
+    """Draw joints + skeleton on a uint8 RGB image (returns a copy).
+
+    `visible` ([K] mask, optional) skips invisible joints and any skeleton
+    link touching one — the reference masks by visibility, and unlabeled
+    joints sit at (0, 0) where they would draw a misleading origin
+    cluster."""
     from PIL import Image, ImageDraw
 
     im = Image.fromarray(np.ascontiguousarray(img))
     drawer = ImageDraw.Draw(im)
     joints = np.asarray(joints)
+    vis = (
+        np.ones(len(joints), bool) if visible is None
+        else np.asarray(visible).astype(bool).reshape(-1)
+    )
     if skeleton is not None:
         for li, (a, b) in enumerate(skeleton):
+            if not (vis[a] and vis[b]):
+                continue
             xa, ya = joints[a][:2]
             xb, yb = joints[b][:2]
             color = tuple(
@@ -43,6 +55,8 @@ def draw_keypoints(img: np.ndarray, joints, skeleton=None,
             )
             drawer.line([xa, ya, xb, yb], fill=color, width=1)
     for ki, (x, y) in enumerate(joints[:, :2]):
+        if not vis[ki]:
+            continue
         color = tuple(
             int(c) for c in (
                 kpt_colors[ki] if kpt_colors is not None else (0, 255, 0)
@@ -117,6 +131,12 @@ class SaveResultImages:
                     skeleton=self.dataset.pose_skeleton,
                     kpt_colors=self.dataset.pose_kpt_color,
                     link_colors=self.dataset.pose_link_color,
+                    visible=(
+                        None if joints_visible is None
+                        else np.asarray(joints_visible[i])[..., 0]
+                        if np.asarray(joints_visible[i]).ndim > 1
+                        else np.asarray(joints_visible[i])
+                    ),
                 )
             )
         self._save(make_grid(tiles), name)

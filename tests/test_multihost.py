@@ -72,11 +72,20 @@ batch = globalize_batch(batch_local, mesh)
 step = make_train_step(model, crit, tx, mesh, donate=False)
 state, metrics = step(state, batch, jax.random.PRNGKey(42))
 leaves = jax.tree.leaves(state.params)
+
+# collective checkpoint save: EVERY process must enter (orbax barriers
+# internally and elects the writer) — a chief-only save deadlocks here
+from litehandnet_tpu.train.checkpoint import CheckpointManager
+
+mgr = CheckpointManager(sys.argv[4])
+mgr.save(state, epoch=0, min_val_loss=float(metrics["loss"]))
+
 print("RESULT" + json.dumps({
     "pid": pid,
     "loss": float(metrics["loss"]),
     "psum": float(sum(float(jnp.sum(jnp.abs(l))) for l in leaves)),
     "first": np.asarray(leaves[0]).ravel()[:4].tolist(),
+    "ckpt": True,
 }), flush=True)
 """
 
@@ -158,7 +167,8 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(p), port, REPO_ROOT],
+            [sys.executable, str(worker), str(p), port, REPO_ROOT,
+             str(tmp_path / "mh_ckpts")],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO_ROOT,
         )
@@ -181,3 +191,10 @@ def test_two_process_multihost_matches_single_process(tmp_path):
         assert r["psum"] == pytest.approx(ref["psum"], rel=1e-5)
         np.testing.assert_allclose(r["first"], ref["first"], rtol=1e-4,
                                    atol=1e-7)
+        assert r["ckpt"]
+    # the collective save completed (both processes entered orbax's save
+    # barrier — a chief-only save would have hung the workers) and the
+    # chief wrote the side-car meta
+    ckpt_dir = tmp_path / "mh_ckpts"
+    assert (ckpt_dir / "checkpoint").exists()
+    assert (ckpt_dir / "checkpoint.meta.json").exists()
