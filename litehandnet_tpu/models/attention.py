@@ -58,7 +58,7 @@ class StageChannelAttention(nn.Module):
         vectors = []
         for i, block in enumerate(xs):
             g = jnp.mean(block, axis=(1, 2))  # [B, C]
-            g = nn.LayerNorm(name=f"ln{i}")(g)
+            g = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(g)
             g = nn.Dense(mid, use_bias=False, name=f"fc1_{i}")(g)
             g = jax.nn.relu(g)
             g = nn.Dense(self.channels, name=f"fc2_{i}")(g)
@@ -85,7 +85,7 @@ class StageChannelAttentionAll(nn.Module):
         feats = []
         for i, block in enumerate(xs):
             g = jnp.mean(block, axis=(1, 2))
-            g = nn.LayerNorm(name=f"ln{i}")(g)
+            g = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(g)
             g = nn.Dense(mid, use_bias=False, name=f"fc1_{i}")(g)
             g = nn.Dropout(0.3, deterministic=not train)(g)
             g = jax.nn.relu(g)
@@ -117,7 +117,7 @@ class StageChannelAttentionFC(nn.Module):
         g = jnp.transpose(g, (0, 3, 1, 2)).reshape(B, C * self.n_block, 4)
         gram = jnp.einsum("bcf,bdf->bcd", g, g)
         gsum = jnp.sum(gram, axis=2)  # [B, C*n]
-        out = nn.LayerNorm(name="ln")(gsum)
+        out = nn.LayerNorm(epsilon=1e-5, name="ln")(gsum)
         out = nn.Dropout(0.3, deterministic=not train)(out)
         out = nn.Dense(C * self.n_block, name="fc")(out)
         att = jax.nn.softmax(out.reshape(B, self.n_block, C), axis=1)
@@ -288,6 +288,10 @@ class NAMChannelAtt(nn.Module):
         )
         y = bn(x)
         gamma = self.get_variable("params", "bn")["scale"]
+        # the reference reads bn.weight.DATA (attention.py:397-400): the
+        # gate weights are constants in autograd, so gamma gets gradients
+        # only through the BN normalization path
+        gamma = jax.lax.stop_gradient(gamma)
         w = jnp.abs(gamma) / jnp.sum(jnp.abs(gamma))
         y = y * w
         return jax.nn.sigmoid(y) * residual

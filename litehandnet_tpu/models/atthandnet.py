@@ -230,10 +230,11 @@ class DenseBlock(nn.Module):
                 self.growth_rate, self.kernel, self.aug, self.num_heads,
                 axis_name=self.axis_name, dtype=self.dtype, name=f"arb{i}",
             )(cur, train)
-            # even kernels grow the spatial size by 1 inside ARB via padding;
-            # crop back so dense concat shapes agree
-            if y.shape[1] != outs[0].shape[1]:
-                outs = [o[:, : y.shape[1], : y.shape[2], :] for o in outs]
+            # ARB preserves spatial size for every kernel (an even kernel's
+            # +1 pad is exactly consumed by its pad-0 even-kernel depthwise
+            # conv — same as the reference ARB_Add), so the dense concat
+            # shapes always agree
+            assert y.shape[1:3] == outs[0].shape[1:3], (y.shape, outs[0].shape)
             outs.append(y)
             cur = jnp.concatenate(outs, axis=-1)
         return cur

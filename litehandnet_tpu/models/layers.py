@@ -377,17 +377,6 @@ class ChannelAttention(nn.Module):
         return x * jax.nn.sigmoid(att)
 
 
-def make_ca(ca_type: str, features: int, **kw):
-    """Channel-attention factory shared by models (reference liteHandNet.py:147-154)."""
-    if ca_type == "se":
-        return SEBlock(internal=max(features // 16, 1), **{k: v for k, v in kw.items() if k == "dtype"})
-    if ca_type == "ca":
-        return ChannelAttention(**kw)
-    if ca_type in ("none", None):
-        return None
-    raise ValueError(f"ca_type {ca_type!r} not in se|ca|none")
-
-
 def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     """Nearest-neighbor resize of NHWC to (h, w); matches torch
     F.interpolate(mode='nearest') for integer up-scaling.

@@ -23,7 +23,6 @@ from litehandnet_tpu.models.layers import (
     SEBlock,
     adaptive_avg_pool,
     channel_shuffle,
-    leaky_relu,
     max_pool2,
     resize_nearest,
 )
@@ -105,9 +104,13 @@ class RepBasicUnit(nn.Module):
 
 
 class RepDownsampleUnit(nn.Module):
-    """ShuffleNetV2 downsample unit (reference: repblocks.py:274-295)."""
+    """ShuffleNetV2 downsample unit (reference: repblocks.py:274-295).
 
-    act: Activation = leaky_relu
+    Default activation is ReLU like the reference (its ``activation=nn.ReLU``
+    default is instantiated positionally as ``nn.ReLU(inplace=True)`` —
+    exact ReLU, see the RepConv quirk in PARITY.md)."""
+
+    act: Activation = relu
     deploy: bool = False
     axis_name: Optional[str] = None
     dtype: Any = None
@@ -170,7 +173,7 @@ class LiteHandNetMSRB(nn.Module):
         return cls(
             num_joints=m.get("output_channel", cfg.DATASET.num_joints),
             num_stage=m.get("num_stage", 4),
-            features=m.get("input_channel", 128),
+            features=m.get("input_channel", 256),  # reference default, litehourglass.py:202
             msrb_ca=m.get("msrb_ca", "ca"),
             rbu_ca=m.get("rbu_ca", "ca"),
             deploy=deploy,

@@ -56,9 +56,13 @@ class SRBasicBlock(nn.Module):
 
 
 class SRHandNet(nn.Module):
-    """Reference: SRhandNet.py:82-137."""
+    """Reference: SRhandNet.py:82-137.
 
-    out_channels: int = 24
+    Default out_channels follows the reference's ``output_channel``
+    default of 21 (SRhandNet.py:85) — the region-map configs set 24
+    (21 kpts + center + w/h) explicitly."""
+
+    out_channels: int = 21
     axis_name: Optional[str] = None
     dtype: Any = None
 
