@@ -69,27 +69,35 @@ class Config(dict):
 
 
 #: Global post-processing hyper-parameters (reference: config/__init__.py:4-24).
+#: Values mirror the reference's shipped pcfg exactly (key renames:
+#: blue_kernel -> dark_kernel, cd_iou -> cycle_detection_diou,
+#: cd_ratio -> cycle_detection_area_ratio). Parsers take these as
+#: constructor overrides, replacing the reference pattern of editing the
+#: global dict per experiment.
 pcfg = Config(
     # center-map / bbox decoding
     nms_kernel=11,           # max-pool NMS kernel for center maps
-    max_num_bbox=10,         # top-k candidate centers
+    num_candidates=10,       # top-k center peaks considered before NMS
+    max_num_bbox=1,          # boxes kept per image after NMS
     detection_threshold=0.1, # min center score to count as a detection
     iou_threshold=0.6,       # IoU-NMS threshold for candidate bboxes
     bbox_factor=1.3,         # bbox padding factor for keypoint windows
     # DARK sub-pixel refinement
-    dark_kernel=19,          # Gaussian-blur kernel for DARK modulation
+    dark_kernel=19,          # Gaussian-blur kernel ('blue_kernel' upstream)
     # cycle detection (re-infer small/overlapping hands)
     cycle_detection_diou=0.3,
-    cycle_detection_area_ratio=0.1,
+    cycle_detection_area_ratio=0.0,
     # SimDR decoding
     simdr_nms_kernel=5,
     # bottom-up tag grouping (Gen-1 HeatmapParser)
-    tag_threshold=1.0,
-    use_detection_val=True,
-    ignore_too_much=False,
-    bbox_k=8,
+    tag_threshold=1.0,       # read but never used upstream (vestigial)
+    use_detection_val=True,  # read but never used upstream (vestigial)
+    ignore_too_much=True,    # read but never used upstream (vestigial)
+    bbox_k=3,                # per-joint top-k candidates inside a bbox
     region_avg_kernel=3,
     region_avg_stride=1,
+    # absent from the reference pcfg although HeatmapParser.py:31 reads it
+    # (KeyError as shipped); 1 = size-preserving for the 3x1 avg pool
     region_avg_padding=1,
 )
 
@@ -99,11 +107,12 @@ def config_from_dict(d: dict) -> Config:
     cfg = Config(d)
     # Consistency rule from the reference loader (config/__init__.py:33-36):
     # a model that predicts bboxes (region maps) cannot train with rotation.
+    # Only rot_prob is zeroed (exactly as upstream); rot_factor is inert
+    # once the probability is 0.
     model = cfg.get("MODEL", {})
     pipeline = cfg.get("PIPELINE", {})
     if model.get("pred_bbox", False) and "PIPELINE" in cfg:
         pipeline["rot_prob"] = 0
-        pipeline["rot_factor"] = 0
     return cfg
 
 

@@ -8,8 +8,12 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.unbiased_encoding': False,
-            'LOSS.loss_weight': [1.0],
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.batch_per_gpu': 4,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0],
         }
 
 

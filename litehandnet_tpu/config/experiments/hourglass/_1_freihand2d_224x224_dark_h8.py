@@ -10,9 +10,11 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.sigma': [2, 2, 2, 2, 2, 2, 2, 2],
-            'LOSS.loss_weight': [1.0],
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 8,
             'OPTIMIZER.warmup_steps': 100,
             'OPTIMIZER.step_epoch': [90, 110],
+            'LOSS.loss_weight': [1.0],
         }
 
 

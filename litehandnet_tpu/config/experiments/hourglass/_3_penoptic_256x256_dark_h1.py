@@ -9,8 +9,12 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.sigma': [2],
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.load_best': True,
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

@@ -11,8 +11,10 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0.5,
             'PIPELINE.rot_factor': 45,
             'PIPELINE.sigma': [2, 2],
-            'LOSS.loss_weight': [0.5, 1.0],
+            'CHECKPOINT.load_best': True,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.warmup_steps': 10,
+            'LOSS.loss_weight': [0.5, 1.0],
         }
 
 

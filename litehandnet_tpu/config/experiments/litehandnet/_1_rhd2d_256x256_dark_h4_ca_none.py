@@ -9,6 +9,9 @@ _OVERRIDES = {
             'MODEL.rbu_ca': 'none',
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
+            'CHECKPOINT.load_best': True,
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.warmup_steps': 100,
         }
 

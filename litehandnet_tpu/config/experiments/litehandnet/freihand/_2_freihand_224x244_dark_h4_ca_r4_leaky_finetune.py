@@ -6,8 +6,10 @@ from litehandnet_tpu.config.templates import make_cfg
 _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
-            'LOSS.loss_weight': [1.0, 0.5],
+            'TRAIN.total_epoches': 60,
+            'TRAIN.batch_per_gpu': 24,
             'OPTIMIZER.step_epoch': [20, 40],
+            'LOSS.loss_weight': [1.0, 0.5],
         }
 
 

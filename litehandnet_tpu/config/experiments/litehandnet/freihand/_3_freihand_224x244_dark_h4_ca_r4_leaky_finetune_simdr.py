@@ -7,10 +7,12 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.simdr_split_ratio': 2,
-            'LOSS.loss_weight': [1.0, 0.5],
+            'TRAIN.total_epoches': 100,
+            'TRAIN.batch_per_gpu': 24,
             'OPTIMIZER.type': 'SGD',
             'OPTIMIZER.lr': 0.001,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 0.5],
         }
 
 

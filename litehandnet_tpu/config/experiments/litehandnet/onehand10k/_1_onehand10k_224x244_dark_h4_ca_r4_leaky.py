@@ -7,10 +7,12 @@ _OVERRIDES = {
             'MODEL.input_channel': 256,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'TRAIN.total_epoches': 100,
+            'TRAIN.batch_per_gpu': 8,
             'OPTIMIZER.warmup_steps': 100,
             'OPTIMIZER.step_epoch': [60, 80],
             'OPTIMIZER.reuseme': False,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

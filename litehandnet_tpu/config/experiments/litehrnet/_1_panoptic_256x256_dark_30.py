@@ -7,8 +7,11 @@ _OVERRIDES = {
             'MODEL.pred_bbox': False,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.load_best': True,
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.batch_per_gpu': 8,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

@@ -8,9 +8,15 @@ _OVERRIDES = {
             'MODEL.pred_bbox': True,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCKh', 'AUC', 'EPE'],
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 8,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -8,9 +8,10 @@ _OVERRIDES = {
             'MODEL.pred_bbox': False,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
+            'TRAIN.batch_per_gpu': 8,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -4,12 +4,15 @@ paths follow this repo's canonical layout)."""
 from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
-            'MODEL.out_indices': [7],
+            'MODEL.out_indices': (7,),
             'MODEL.pred_bbox': False,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.load_best': True,
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

@@ -8,8 +8,12 @@ _OVERRIDES = {
             'MODEL.output_activation': False,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

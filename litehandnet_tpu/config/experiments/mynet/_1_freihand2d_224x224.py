@@ -9,9 +9,13 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.unbiased_encoding': False,
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.syncBN': False,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

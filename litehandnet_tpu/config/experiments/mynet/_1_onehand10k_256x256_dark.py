@@ -7,9 +7,11 @@ _OVERRIDES = {
             'MODEL.pred_bbox': True,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
+            'CHECKPOINT.load_best': True,
+            'TRAIN.batch_per_gpu': 16,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -7,9 +7,13 @@ _OVERRIDES = {
             'MODEL.pred_bbox': True,
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 64,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

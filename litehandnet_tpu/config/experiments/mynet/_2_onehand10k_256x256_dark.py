@@ -5,13 +5,14 @@ from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
             'MODEL.pred_bbox': True,
-            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_prob': 0.5,
             'PIPELINE.rot_factor': 45,
-            'LOSS.loss_weight': [1.0],
-            'LOSS.with_simdr': False,
+            'CHECKPOINT.load_best': True,
             'OPTIMIZER.type': 'AdamW',
             'OPTIMIZER.lr': 5e-05,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0],
+            'LOSS.with_simdr': False,
         }
 
 

@@ -10,9 +10,13 @@ _OVERRIDES = {
             'PIPELINE.use_udp': True,
             'PIPELINE.encoding': 'UDP',
             'PIPELINE.unbiased_encoding': False,
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.syncBN': False,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.loss_weight': [1.0],
             'LOSS.with_simdr': False,
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -5,11 +5,13 @@ from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
             'MODEL.pred_bbox': True,
-            'PIPELINE.rot_prob': 0,
+            'PIPELINE.rot_prob': 0.5,
             'PIPELINE.rot_factor': 45,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.load_best': True,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.type': 'AdamW',
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

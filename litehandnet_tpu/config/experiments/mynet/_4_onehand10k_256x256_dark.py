@@ -7,9 +7,11 @@ _OVERRIDES = {
             'MODEL.pred_bbox': False,
             'PIPELINE.rot_prob': 0.5,
             'PIPELINE.rot_factor': 45,
-            'LOSS.loss_weight': [1.0],
+            'CHECKPOINT.load_best': True,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.type': 'AdamW',
             'OPTIMIZER.warmup_steps': 10,
+            'LOSS.loss_weight': [1.0],
         }
 
 

@@ -9,9 +9,14 @@ _OVERRIDES = {
             'PIPELINE.rot_prob': 0,
             'PIPELINE.rot_factor': 0,
             'PIPELINE.simdr_split_ratio': 2,
-            'LOSS.loss_weight': [1.0, 1.0],
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCK', 'AUC'],
+            'TRAIN.syncBN': False,
+            'TRAIN.total_epoches': 100,
             'OPTIMIZER.warmup_steps': 100,
             'OPTIMIZER.step_epoch': [60, 80],
+            'LOSS.loss_weight': [1.0, 1.0],
         }
 
 

@@ -6,9 +6,11 @@ from litehandnet_tpu.config.templates import make_cfg
 _OVERRIDES = {
             'MODEL.output_channel': 21,
             'MODEL.pred_bbox': False,
+            'CHECKPOINT.load_best': True,
+            'TRAIN.syncBN': False,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -5,10 +5,12 @@ from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
             'PIPELINE.unbiased_encoding': False,
-            'LOSS.type': 'srhandnetloss',
-            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'CHECKPOINT.resume': False,
+            'TRAIN.syncBN': False,
             'OPTIMIZER.lr': 0.0001,
             'OPTIMIZER.warmup_steps': 200,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
         }
 
 

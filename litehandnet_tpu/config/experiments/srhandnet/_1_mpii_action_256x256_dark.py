@@ -5,9 +5,15 @@ from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
             'MODEL.output_channel': 16,
+            'CHECKPOINT.resume': False,
+            'CHECKPOINT.load_best': True,
+            'EVAL.metric': ['PCKh', 'AUC', 'EPE'],
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 4,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -7,10 +7,13 @@ _OVERRIDES = {
             'MODEL.output_channel': 21,
             'MODEL.pred_bbox': False,
             'PIPELINE.unbiased_encoding': False,
-            'LOSS.type': 'srhandnetloss',
-            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'CHECKPOINT.resume': False,
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 8,
             'OPTIMIZER.lr': 0.0001,
             'OPTIMIZER.warmup_steps': 200,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
         }
 
 

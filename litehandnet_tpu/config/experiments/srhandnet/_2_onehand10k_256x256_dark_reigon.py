@@ -4,9 +4,11 @@ paths follow this repo's canonical layout)."""
 from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
+            'CHECKPOINT.load_best': True,
+            'TRAIN.batch_per_gpu': 16,
+            'OPTIMIZER.warmup_steps': 100,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 100,
         }
 
 

@@ -4,9 +4,13 @@ paths follow this repo's canonical layout)."""
 from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
+            'CHECKPOINT.load_best': True,
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 8,
+            'OPTIMIZER.warmup_steps': 210,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 210,
         }
 
 

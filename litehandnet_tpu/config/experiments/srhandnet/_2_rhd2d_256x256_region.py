@@ -5,9 +5,12 @@ from litehandnet_tpu.config.templates import make_cfg
 
 _OVERRIDES = {
             'PIPELINE.unbiased_encoding': False,
+            'CHECKPOINT.load_best': True,
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
+            'OPTIMIZER.warmup_steps': 210,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 210,
         }
 
 

@@ -6,11 +6,13 @@ from litehandnet_tpu.config.templates import make_cfg
 _OVERRIDES = {
             'MODEL.output_channel': 21,
             'MODEL.pred_bbox': False,
-            'LOSS.type': 'srhandnetloss',
-            'LOSS.loss_weight': [0.2, 0.2, 0.3, 1.0],
+            'TRAIN.syncBN': False,
+            'TRAIN.total_epoches': 410,
             'OPTIMIZER.type': 'SGD',
             'OPTIMIZER.lr': 0.0002,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.2, 0.2, 0.3, 1.0],
         }
 
 

@@ -7,9 +7,12 @@ _OVERRIDES = {
             'MODEL.output_channel': 21,
             'MODEL.pred_bbox': False,
             'PIPELINE.unbiased_encoding': False,
+            'CHECKPOINT.load_best': True,
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
+            'OPTIMIZER.warmup_steps': 210,
             'LOSS.type': 'srhandnetloss',
             'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
-            'OPTIMIZER.warmup_steps': 210,
         }
 
 

@@ -8,11 +8,13 @@ _OVERRIDES = {
             'MODEL.pred_bbox': False,
             'PIPELINE.rot_prob': 0.5,
             'PIPELINE.rot_factor': 45,
-            'LOSS.type': 'srhandnetloss',
-            'LOSS.loss_weight': [0.2, 0.2, 0.3, 1.0],
+            'TRAIN.syncBN': False,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.type': 'RMSprop',
             'OPTIMIZER.lr': 0.001,
             'OPTIMIZER.warmup_steps': 100,
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.2, 0.2, 0.3, 1.0],
         }
 
 

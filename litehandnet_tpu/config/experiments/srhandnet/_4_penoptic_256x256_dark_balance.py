@@ -6,11 +6,15 @@ from litehandnet_tpu.config.templates import make_cfg
 _OVERRIDES = {
             'MODEL.output_channel': 21,
             'MODEL.pred_bbox': False,
-            'LOSS.type': 'srhandnetloss',
-            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
+            'CHECKPOINT.load_best': True,
+            'EVAL.save_best': 'PCKh',
+            'TRAIN.total_epoches': 60,
+            'TRAIN.batch_per_gpu': 16,
             'OPTIMIZER.lr': 5e-05,
             'OPTIMIZER.warmup_steps': 210,
             'OPTIMIZER.step_epoch': [30, 50],
+            'LOSS.type': 'srhandnetloss',
+            'LOSS.loss_weight': [0.3, 0.3, 0.5, 1.0],
         }
 
 

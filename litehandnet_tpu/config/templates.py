@@ -19,7 +19,7 @@ _DATASETS = {
         files=("freihand_train.json", "freihand_val.json", "freihand_test.json"),
     ),
     "rhd": dict(
-        name="rhd2d", num_joints=21,
+        name="rhd", num_joints=21,  # registry aliases rhd == rhd2d
         ann_root="data/handset/rhd/annotations",
         img_prefix="data/handset/rhd/",
         files=("rhd_train.json", "rhd_test.json", "rhd_test.json"),

@@ -127,12 +127,20 @@ class HeatmapParser:
     heatmaps plus tag maps.
     """
 
-    def __init__(self, cfg, num_candidates: int = 20, bbox_k: int = 8):
+    def __init__(self, cfg, num_candidates: int | None = None,
+                 bbox_k: int | None = None,
+                 max_num_bbox: int | None = None):
         self.image_size = tuple(int(v) for v in cfg.DATASET.image_size)
         self.heatmap_size = tuple(int(v) for v in cfg.DATASET.heatmap_size)
         self.feature_stride = self.image_size[0] / self.heatmap_size[0]
-        self.num_candidates = num_candidates
-        self.bbox_k = bbox_k
+        self.num_candidates = int(
+            num_candidates if num_candidates is not None
+            else pcfg.num_candidates
+        )
+        self.bbox_k = int(bbox_k if bbox_k is not None else pcfg.bbox_k)
+        self.max_num_bbox = int(
+            max_num_bbox if max_num_bbox is not None else pcfg.max_num_bbox
+        )
         self.bbox_factor = float(pcfg.bbox_factor)
 
     def parse(self, center_maps, size_maps, joint_heatmaps, tag_maps,
@@ -157,7 +165,7 @@ class HeatmapParser:
         )
         boxes = masked_nms(
             cands, float(pcfg.iou_threshold), float(pcfg.detection_threshold),
-            int(pcfg.max_num_bbox),
+            self.max_num_bbox,
         )
         peaks = heatmap_nms(jnp.asarray(joint_heatmaps), 3)
         kpts = _group_by_tags(

@@ -92,16 +92,31 @@ class ResultParser:
     """
 
     def __init__(self, cfg, model_fn: Optional[Callable] = None,
-                 num_candidates: int = 20, cd_enabled: bool = True,
-                 cd_reduction: int = 2):
+                 num_candidates: Optional[int] = None,
+                 max_num_bbox: Optional[int] = None,
+                 cd_iou: Optional[float] = None,
+                 cd_ratio: Optional[float] = None,
+                 cd_enabled: bool = True, cd_reduction: int = 2):
         self.image_size = tuple(int(v) for v in cfg.DATASET.image_size)
         hm = cfg.DATASET.heatmap_size
         if hm and isinstance(hm[0], (list, tuple)):
             hm = hm[-1]  # multi-scale (SRHandNet): parse at the finest scale
         self.heatmap_size = tuple(int(v) for v in hm)
         self.feature_stride = self.image_size[0] / self.heatmap_size[0]
-        self.num_candidates = num_candidates
-        self.max_num_bbox = int(pcfg.max_num_bbox)
+        self.num_candidates = int(
+            num_candidates if num_candidates is not None
+            else pcfg.num_candidates
+        )
+        self.max_num_bbox = int(
+            max_num_bbox if max_num_bbox is not None else pcfg.max_num_bbox
+        )
+        self.cd_iou = float(
+            cd_iou if cd_iou is not None else pcfg.cycle_detection_diou
+        )
+        self.cd_ratio = float(
+            cd_ratio if cd_ratio is not None
+            else pcfg.cycle_detection_area_ratio
+        )
         self.detection_threshold = float(pcfg.detection_threshold)
         self.iou_threshold = float(pcfg.iou_threshold)
         self.bbox_factor = float(pcfg.bbox_factor)
@@ -217,8 +232,8 @@ class ResultParser:
 
     def _is_cycle_detection(self, box, boxes, iou_thr=None, ratio=None):
         """Reference: result_parser.py:276-294."""
-        iou_thr = iou_thr if iou_thr is not None else float(pcfg.cycle_detection_diou)
-        ratio = ratio if ratio is not None else float(pcfg.cycle_detection_area_ratio)
+        iou_thr = iou_thr if iou_thr is not None else self.cd_iou
+        ratio = ratio if ratio is not None else self.cd_ratio
         area = box[2] * box[3]
         if area != 0 and area / self.image_area <= ratio:
             return True

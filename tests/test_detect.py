@@ -89,7 +89,9 @@ def test_bbox_iou_parity_with_reference(rng):
 
 def test_region_decode_and_nms(rng):
     region, _, gt_boxes, _ = _synthetic_scene(rng)
-    parser = ResultParser(_cfg(), cd_enabled=False)
+    # pcfg ships the reference default max_num_bbox=1; raise it for the
+    # 2-hand scene the way the reference author edits pcfg per experiment
+    parser = ResultParser(_cfg(), cd_enabled=False, max_num_bbox=10)
     boxes = parser.get_pred_bbox(region[None])[0]  # [M, 5]
     valid = boxes[boxes[:, 4] > 0]
     assert len(valid) == 2, boxes
@@ -121,7 +123,7 @@ def test_count_ap():
 
 def test_result_parser_end_to_end(rng):
     region, kpt_hm, gt_boxes, gt_kpts = _synthetic_scene(rng)
-    parser = ResultParser(_cfg(), cd_enabled=False)
+    parser = ResultParser(_cfg(), cd_enabled=False, max_num_bbox=10)
     boxes = parser.get_pred_bbox(region[None])
     kpts = parser.get_group_keypoints(None, kpt_hm[None], boxes)
     assert kpts.shape == (1, parser.max_num_bbox, 21, 3)
@@ -149,7 +151,8 @@ def test_cycle_detection_reinfers_small_hands(rng):
         n = crops.shape[0]
         return np.tile(kpt_hm[None, :32, :32, :], (n, 1, 1, 1))
 
-    parser = ResultParser(_cfg(), model_fn=fake_model, cd_enabled=True)
+    parser = ResultParser(_cfg(), model_fn=fake_model, cd_enabled=True,
+                          max_num_bbox=10, cd_ratio=0.1)
     boxes = parser.get_pred_bbox(region[None])
     images = np.zeros((1, img, img, 3), np.float32)
     kpts = parser.get_group_keypoints(images, kpt_hm[None], boxes)

@@ -42,7 +42,7 @@ def test_bottom_up_parse(rng):
         )
         tag[..., 0] = np.where(inside, tag_val, tag[..., 0])
 
-    parser = HeatmapParser(_cfg())
+    parser = HeatmapParser(_cfg(), max_num_bbox=10)
     boxes, kpts = parser.parse(center[None], size_m[None], joint_hm[None],
                                tag[None])
     valid = boxes[0][boxes[0][:, 4] > 0]
