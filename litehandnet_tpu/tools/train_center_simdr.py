@@ -168,8 +168,12 @@ def main(argv=None):
                     cfg, "val", batch_size=batch, num_workers=args.workers,
                     seed=args.seed, drop_last=False,
                 )
-            pck = evaluate_multihand_pck(model, state, val_loader, parser_)
-            logger.log(epoch, {"pck": pck}, prefix="val/")
+            # reference test() reports coord PCK + heatmap PCK + region AP
+            metrics = evaluate_multihand_pck(
+                model, state, val_loader, parser_, full_metrics=True
+            )
+            pck = metrics["coor_pck"]
+            logger.log(epoch, {"pck": pck, **metrics}, prefix="val/")
             # reference gates the best checkpoint on an improved PCK
             # (save_model, train_distributed_center_simdr_freihand.py:304-329;
             # its absolute >85 floor only matters at convergence)
@@ -186,20 +190,53 @@ def main(argv=None):
     return state
 
 
-def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50):
+def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50,
+                           full_metrics=False):
     """Reference Gen-1 test() (:240-278): bboxes decoded from the last
     stack's region maps, per-bbox keypoint extraction, multi-hand
-    coordinate PCK vs ground truth — all in crop space."""
+    coordinate PCK vs ground truth — all in crop space.
+
+    With ``full_metrics=True`` also reports the reference test()'s other
+    two metrics — heatmap-space PCK per stack and region-map AP — keyed
+    CORRECTLY (the reference's own calls at
+    train_distributed_center_simdr_freihand.py:260,265 pass the keypoint
+    channels to evaluate_ap and misplace evaluate_pck's positional args;
+    see PARITY.md)."""
     import jax.numpy as jnp
 
+    from litehandnet_tpu.eval.legacy_eval import evaluate_ap, heatmap_pck
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    pcks = []
+    image_size = parser_.image_size[0]
+    pcks, hm_pcks, ap50s, aps = [], [], [], []
     for bi, raw in enumerate(loader.batches(0)):
         if bi >= max_batches:
             break
         out = model.apply(variables, jnp.asarray(raw["img"]), train=False)
         hm_list = out[0] if isinstance(out, tuple) else out
         hm = np.asarray(hm_list[-1])
+        if full_metrics:
+            bb_ = np.asarray(raw["bbox_crop"])
+            gt_b = [
+                [[b[0] + b[2] / 2, b[1] + b[3] / 2, b[2], b[3]]]
+                for b in bb_
+            ]
+            ap50, ap, _ = evaluate_ap(hm[..., -3:], gt_b, image_size)
+            ap50s.append(ap50)
+            aps.append(ap)
+            tgt = np.asarray(raw["target"])
+            if tgt.ndim == 5:  # stacked [B, S, H, W, C]
+                tgt = tgt[:, -1]
+            n_kpt = hm.shape[-1] - 3
+            tw = np.asarray(raw["target_weight"])[:, :n_kpt, None]
+            bbox_cs = np.stack(
+                [bb_[:, 0] + bb_[:, 2] / 2, bb_[:, 1] + bb_[:, 3] / 2,
+                 bb_[:, 2], bb_[:, 3]], axis=-1,
+            )[:, None]
+            hm_pcks.append(heatmap_pck(
+                hm[..., :n_kpt], tgt[..., :n_kpt], bbox_cs,
+                image_size=image_size, target_weight=tw,
+            ))
         boxes = parser_.get_pred_bbox(hm[..., -3:])
         kpts = parser_.get_group_keypoints(
             np.asarray(raw["img"]), hm[..., :-3], boxes
@@ -217,7 +254,15 @@ def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50):
              bb[:, 2], bb[:, 3]], axis=-1,
         )[:, None]                                # [B, 1, 4] cxcywh
         pcks.append(parser_.evaluate_pck(kpts, gt_kpts, gt_boxes))
-    return float(np.mean(pcks)) if pcks else 0.0
+    coor_pck = float(np.mean(pcks)) if pcks else 0.0
+    if full_metrics:
+        return dict(
+            coor_pck=coor_pck,
+            hm_pck=float(np.mean(hm_pcks)) if hm_pcks else 0.0,
+            ap50=float(np.mean(ap50s)) if ap50s else 0.0,
+            ap=float(np.mean(aps)) if aps else 0.0,
+        )
+    return coor_pck
 
 
 def _raw_images(raw):
