@@ -139,26 +139,20 @@ class TorchBatchNorm(nn.Module):
             n = x.size // C
             sync = self.axis_name is not None and not self.is_initializing()
             if not sync:
-                # SHIFTED one-pass variance, matching torch numerics at
-                # two-pass accuracy and two-pass HBM cost avoided: naive
-                # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std
-                # (measured ~1e-3 relative train-mode forward error vs
-                # torch on randomized BN stats), while a true two-pass
-                # E[(x-mean)^2] costs an extra full read of the activations
-                # (measured 2.7 ms = 8% of the litehandnet train step).
-                # Shifting by one per-channel SAMPLE first makes the
-                # one-pass form stable: E[(x-c)^2]-E[x-c]^2 has relative
-                # error ~eps*(1 + (mean-c)^2/var) ~ eps, since a sample c
-                # sits within ~std of the mean. stop_gradient keeps
-                # autodiff identical to the unshifted form.
-                c = jax.lax.stop_gradient(
-                    xf[(0,) * (x.ndim - 1)].reshape(C)
-                )
-                xs = xf - c
-                m1 = jnp.mean(xs, axis=red)
-                m2 = jnp.mean(jnp.square(xs), axis=red)
-                mean = m1 + c
-                var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+                # TWO-PASS variance E[(x-mean)^2], torch numerics: naive
+                # one-pass E[x^2]-E[x]^2 cancels catastrophically when
+                # |mean| >> std (measured 8.5e-2 max relative var error vs
+                # f64 at mean/std=250; two-pass: 1.7e-6). The round-2
+                # "shifted one-pass" alternative turned out SLOWER than the
+                # honest two-pass on v5e — XLA materializes the f32 shifted
+                # intermediate instead of re-fusing the subtract into both
+                # reductions (isolated stats on a 51 MB bf16 activation:
+                # shifted 2.10/1.19 ms vs two-pass 1.06/1.02 ms at
+                # C=32/128; a Pallas one-pass f32-accumulator kernel only
+                # ties two-pass at C=128 and loses 2.4x at C=32 to lane
+                # padding). See PROFILE.md "BN-statistics cost".
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf - mean), axis=red)
             else:
                 # SyncBN: per-device shifts don't compose across pmean, so
                 # keep the plain two-pass (the collective dominates anyway)
