@@ -38,3 +38,45 @@ def split_by_size(db, k: int = 2):
     sizes = np.array([max(rec["bbox"][2], rec["bbox"][3]) for rec in db])
     _, labels = kmeans_1d(sizes, k=k)
     return [np.where(labels == j)[0].tolist() for j in range(k)]
+
+
+def kmeans_ref(relative_sizes, centers=(0.2, 0.4, 0.6, 0.8)):
+    """The reference's exact 1-D k-means over relative bbox areas
+    (utils/k_means.py:7-28), quirks kept: per-cluster counts initialize
+    to ONE (sum to zero), so empty clusters decay toward 0 and every
+    mean is biased by one phantom zero sample; convergence tests the SUM
+    of centers for exact equality.
+
+    Returns (centers [k], counts [k]).
+    """
+    sizes = np.asarray(relative_sizes, np.float64).reshape(-1)
+    centers = np.asarray(centers, np.float64).copy()
+    k = len(centers)
+    while True:
+        sum_sizes = np.zeros(k)
+        count = np.ones(k)
+        idx = np.abs(centers[None, :] - sizes[:, None]).argmin(axis=1)
+        np.add.at(sum_sizes, idx, sizes)
+        np.add.at(count, idx, 1.0)
+        centers_new = sum_sizes / count
+        if centers_new.sum() - centers.sum() == 0:
+            return centers_new, count
+        centers = centers_new
+
+
+def size_thresholds(relative_sizes, cluster_centers):
+    """Midpoint thresholds between adjacent cluster centers + per-bin
+    counts (reference utils/k_means.py:31-46). Returns
+    (thresholds [k-1], counts [k])."""
+    centers = np.asarray(cluster_centers, np.float64)
+    thresholds = [
+        float((centers[i + 1] + centers[i]) / 2)
+        for i in range(len(centers) - 1)
+    ]
+    rs = np.asarray(relative_sizes, np.float64).reshape(-1)
+    counts = [int((rs < thresholds[0]).sum())]
+    for i in range(1, len(thresholds)):
+        counts.append(int(((rs >= thresholds[i - 1])
+                           & (rs < thresholds[i])).sum()))
+    counts.append(int((rs >= thresholds[-1]).sum()))
+    return thresholds, counts

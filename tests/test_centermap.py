@@ -90,3 +90,86 @@ def test_kmeans_size_split():
     groups = split_by_size(db, k=2)  # index lists, smallest cluster first
     assert sorted(groups[0]) == list(range(50))
     assert sorted(groups[1]) == list(range(50, 100))
+
+
+def test_kmeans_ref_parity_with_reference():
+    """kmeans_ref / size_thresholds must match the reference's _k_means /
+    _get_threshold exactly. The reference module's imports are broken as
+    shipped (config.config_dict / data.get_dataset don't exist), so only
+    its two pure-numpy functions are exec'd, with those imports stubbed."""
+    import sys
+    import types
+
+    from tests import ref_loader
+    from litehandnet_tpu.utils.kmeans import kmeans_ref, size_thresholds
+
+    if not ref_loader.reference_available():
+        import pytest
+
+        pytest.skip("reference absent")
+    for name, attrs in (("config", ("config_dict", "DATASET")),
+                        ("data", ("get_dataset",))):
+        mod = types.ModuleType(name)
+        for a in attrs:
+            setattr(mod, a, None)
+        sys.modules.setdefault(name, mod)
+    src = open("/root/reference/utils/k_means.py").read()
+    src = src.split("if __name__")[0]  # skip the dataset-loading driver
+    ns = {}
+    exec(compile(src, "ref_k_means", "exec"), ns)
+
+    rng = np.random.RandomState(7)
+    sizes = np.concatenate([
+        rng.uniform(0.05, 0.3, 40), rng.uniform(0.35, 0.55, 30),
+        rng.uniform(0.6, 0.95, 30),
+    ]).tolist()
+    want_c, want_n = ns["_k_means"](sizes)
+    got_c, got_n = kmeans_ref(sizes)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-12)
+    np.testing.assert_allclose(got_n, want_n)
+    want_thr, want_cnt = ns["_get_threshold"](sizes, want_c)
+    got_thr, got_cnt = size_thresholds(sizes, got_c)
+    np.testing.assert_allclose(got_thr, want_thr, rtol=1e-12)
+    assert got_cnt == list(want_cnt)
+
+
+def test_split_testset_cli(tmp_path):
+    """The split CLI partitions a COCO json into size bins: disjoint,
+    exhaustive, and ordered by relative bbox area."""
+    import json
+
+    from litehandnet_tpu.tools.split_testset import main
+
+    rng = np.random.RandomState(5)
+    images, annotations = [], []
+    for i in range(120):
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=224,
+                           height=224))
+        side = float(rng.choice([40, 100, 160, 210]) + rng.uniform(-8, 8))
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1, iscrowd=0,
+            bbox=[5.0, 5.0, side, side], area=side * side, keypoints=[],
+        ))
+    ann_path = tmp_path / "test.json"
+    ann_path.write_text(json.dumps(dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )))
+    out = tmp_path / "splits"
+    paths = main(["--ann", str(ann_path), "--image-size", "224", "224",
+                  "--out-dir", str(out)])
+    assert len(paths) == 4
+    seen = []
+    prev_max = -1.0
+    for pth in paths:
+        d = json.loads(open(pth).read())
+        ids = [a["id"] for a in d["annotations"]]
+        seen += ids
+        assert {im["id"] for im in d["images"]} == {
+            a["image_id"] for a in d["annotations"]
+        }
+        if d["annotations"]:
+            areas = [a["bbox"][2] * a["bbox"][3] for a in d["annotations"]]
+            assert min(areas) >= prev_max  # bins ordered small -> large
+            prev_max = max(areas)
+    assert sorted(seen) == list(range(120))
