@@ -105,3 +105,40 @@ def test_simdr_decode_parity(ref, rng):
     want = ref.keypoints_from_simdr(xv, yv, center.copy(), scale.copy(), k=k)
     got = np.asarray(D.keypoints_from_simdr(xv, yv, center, scale, split_ratio=k))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_metric_functions_match_reference(rng, ref):
+    """keypoint_pck_accuracy / keypoint_auc / keypoint_epe vs the
+    reference's top_down_eval implementations on randomized inputs with
+    invisible joints and degenerate normalizers."""
+    from litehandnet_tpu.eval.metrics import (
+        keypoint_auc, keypoint_epe, keypoint_pck_accuracy,
+    )
+
+    N, K = 16, 21
+    pred = rng.uniform(0, 64, (N, K, 2)).astype(np.float32)
+    gt = pred + rng.normal(0, 3, (N, K, 2)).astype(np.float32)
+    mask = rng.uniform(size=(N, K)) > 0.2
+    mask[3] = False                       # a fully-masked sample
+    norm = rng.uniform(20, 60, (N, 2)).astype(np.float32)
+    norm[5] = 0.0                         # degenerate normalizer sample
+
+    # the reference's _calc_distances MUTATES `normalize` in place
+    # (top_down_eval.py:37, zeros -> 1e6); ours copies — pass each side
+    # its own copy so the shared array isn't corrupted between calls
+    acc_w, avg_w, cnt_w = ref.keypoint_pck_accuracy(
+        pred, gt, mask, 0.2, norm.copy())
+    acc_g, avg_g, cnt_g = keypoint_pck_accuracy(
+        pred, gt, mask, 0.2, norm.copy())
+    np.testing.assert_allclose(acc_g, acc_w, rtol=1e-6)
+    np.testing.assert_allclose(avg_g, avg_w, rtol=1e-6)
+    assert cnt_g == cnt_w
+
+    np.testing.assert_allclose(
+        keypoint_auc(pred, gt, mask, 30),
+        ref.keypoint_auc(pred, gt, mask, 30), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        keypoint_epe(pred, gt, mask),
+        ref.keypoint_epe(pred, gt, mask), rtol=1e-6,
+    )
