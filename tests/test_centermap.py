@@ -96,10 +96,9 @@ def test_kmeans_ref_parity_with_reference():
     """kmeans_ref / size_thresholds must match the reference's _k_means /
     _get_threshold exactly. The reference module's imports are broken as
     shipped (config.config_dict / data.get_dataset don't exist), so only
-    its two pure-numpy functions are exec'd, with those imports stubbed."""
-    import sys
-    import types
-
+    its two pure-numpy functions are exec'd, with the broken import lines
+    stripped (NOT stubbed via sys.modules, which would leak into every
+    later test that imports the real reference config package)."""
     from tests import ref_loader
     from litehandnet_tpu.utils.kmeans import kmeans_ref, size_thresholds
 
@@ -107,14 +106,12 @@ def test_kmeans_ref_parity_with_reference():
         import pytest
 
         pytest.skip("reference absent")
-    for name, attrs in (("config", ("config_dict", "DATASET")),
-                        ("data", ("get_dataset",))):
-        mod = types.ModuleType(name)
-        for a in attrs:
-            setattr(mod, a, None)
-        sys.modules.setdefault(name, mod)
     src = open("/root/reference/utils/k_means.py").read()
     src = src.split("if __name__")[0]  # skip the dataset-loading driver
+    src = "\n".join(
+        ln for ln in src.splitlines()
+        if not ln.startswith(("from config", "from data"))
+    )
     ns = {}
     exec(compile(src, "ref_k_means", "exec"), ns)
 
