@@ -12,7 +12,6 @@ Two surfaces:
 
 import glob
 import os.path as osp
-import sys
 import types
 
 import pytest
@@ -47,13 +46,16 @@ PCFG_RENAMES = {
 
 
 def _ref_pcfg():
-    """The reference's shipped pcfg dict, exec'd live (it only needs
-    `addict`, stubbed here)."""
+    """The reference's shipped pcfg dict, exec'd live. The `import addict`
+    line is stripped and a namespace-local stand-in injected instead of
+    registering anything in sys.modules (a sys.modules stub with
+    Dict=dict would leak into ref_loader's dot-dict stub and break every
+    later reference-model test)."""
     src = open(osp.join(REF_CFG, "__init__.py")).read()
-    ns = {}
-    addict = types.ModuleType("addict")
-    addict.Dict = dict
-    sys.modules.setdefault("addict", addict)
+    src = "\n".join(
+        ln for ln in src.splitlines() if not ln.startswith("import addict")
+    )
+    ns = {"addict": types.SimpleNamespace(Dict=dict)}
     exec(compile(src, "ref_config_init", "exec"), ns)
     return ns["pcfg"]
 
