@@ -56,15 +56,25 @@ LR = 2e-3
 # about the training computation, not the config's width (convergence-e2e
 # scale). Steps chosen to saturate train-set PCK near 1.0 (measured:
 # litehandnet 0.99 at step 200; mynet 0.91 at 250-step pace, so 350)
-OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
+HG_OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
+# (refcfg_path, family, steps, model overrides, stacked output?)
 CASES = [
     pytest.param(
         "config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py",
-        "litehandnet", 250, marks=pytest.mark.slow,
+        "litehandnet", 250, HG_OVERRIDES, False, marks=pytest.mark.slow,
     ),
     pytest.param(
         "config/mynet/_2_freihand2d_224x224_dark.py",
-        "mynet", 350, marks=pytest.mark.slow,
+        "mynet", 350, HG_OVERRIDES, False, marks=pytest.mark.slow,
+    ),
+    # stacked-hourglass lineage: intermediate supervision on every stack,
+    # stacked [B, S, ...] targets, decode from the LAST stack (reference
+    # test.py uses the final output; loss/loss.py broadcasts over stacks)
+    pytest.param(
+        "config/hourglass/_2_freihand2d_224x224_dark_h2.py",
+        "hourglass", 250,
+        dict(num_stack=2, num_level=2, input_channel=64), True,
+        marks=pytest.mark.slow,
     ),
 ]
 
@@ -130,9 +140,10 @@ def _decode_and_score(hm_nhwc, joints):
     return float(pck), float(auc), float(epe)
 
 
-@pytest.mark.parametrize("refcfg_path,family,steps", CASES)
-def test_trained_model_equivalence(refcfg_path, family, steps, rng,
-                                   monkeypatch):
+@pytest.mark.parametrize("refcfg_path,family,steps,overrides,stacked",
+                         CASES)
+def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
+                                   stacked, rng, monkeypatch):
     import jax
     import jax.numpy as jnp
     import optax
@@ -145,7 +156,7 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
     refcfg = ref_loader.load_ref_config(refcfg_path)
     refcfg.DATASET.image_size = [SIZE, SIZE]
     refcfg.DATASET.heatmap_size = [HM, HM]
-    for key, val in OVERRIDES.items():
+    for key, val in overrides.items():
         refcfg.MODEL[key] = val
     tm = ref_loader.build_ref_model(refcfg)
     sane_reinit(tm)
@@ -164,9 +175,13 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
     )
     variables = import_torch_state_dict(family, tm.state_dict(), target_vars)
     criterion = get_loss(cfg)
+    n_stack = int(refcfg.MODEL.get("num_stack", 1)) if stacked else 0
+    out_shape = (
+        (BATCH, n_stack, HM, HM, K) if stacked else (BATCH, HM, HM, K)
+    )
     crit_vars = criterion.init(
-        jax.random.PRNGKey(1), jnp.zeros((BATCH, HM, HM, K)),
-        {"target": jnp.zeros((BATCH, HM, HM, K)),
+        jax.random.PRNGKey(1), jnp.zeros(out_shape),
+        {"target": jnp.zeros(out_shape),
          "target_weight": jnp.ones((BATCH, K))},
     )
     assert not crit_vars.get("params"), "heatmap criterion owns no params"
@@ -190,12 +205,23 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
     t_losses = []
     for idx in batches:
         x = torch.from_numpy(train_imgs[idx].transpose(0, 3, 1, 2))
-        meta = {
-            "target": torch.from_numpy(
-                train_tgts[idx].transpose(0, 3, 1, 2)
-            ),
-            "target_weight": torch.from_numpy(weights[idx][..., None]),
-        }
+        if stacked:
+            t = np.tile(
+                train_tgts[idx][:, None], (1, n_stack, 1, 1, 1)
+            )  # [b, S, HM, HM, K]
+            meta = {
+                "target": torch.from_numpy(t.transpose(0, 1, 4, 2, 3)),
+                "target_weight": torch.from_numpy(np.tile(
+                    weights[idx][:, None, :, None], (1, n_stack, 1, 1)
+                )),
+            }
+        else:
+            meta = {
+                "target": torch.from_numpy(
+                    train_tgts[idx].transpose(0, 3, 1, 2)
+                ),
+                "target_weight": torch.from_numpy(weights[idx][..., None]),
+            }
         loss, _ = ref_criterion(tm(x), meta)
         opt.zero_grad()
         loss.backward()
@@ -206,6 +232,8 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
     with torch.no_grad():
         t_hm_tr = tm(torch.from_numpy(train_imgs.transpose(0, 3, 1, 2)))
         t_hm_ev = tm(torch.from_numpy(eval_imgs.transpose(0, 3, 1, 2)))
+    if stacked:  # [B, S, K, H, W] -> last stack
+        t_hm_tr, t_hm_ev = t_hm_tr[:, -1], t_hm_ev[:, -1]
     t_hm_tr = np.asarray(t_hm_tr).transpose(0, 2, 3, 1)
     t_hm_ev = np.asarray(t_hm_ev).transpose(0, 2, 3, 1)
 
@@ -234,9 +262,12 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
 
     f_losses = []
     for idx in batches:
+        tgt = train_tgts[idx]
+        if stacked:
+            tgt = np.tile(tgt[:, None], (1, n_stack, 1, 1, 1))
         params, stats, opt_state, loss = step(
             params, stats, opt_state,
-            jnp.asarray(train_imgs[idx]), jnp.asarray(train_tgts[idx]),
+            jnp.asarray(train_imgs[idx]), jnp.asarray(tgt),
             jnp.asarray(weights[idx]),
         )
         f_losses.append(float(loss))
@@ -245,6 +276,8 @@ def test_trained_model_equivalence(refcfg_path, family, steps, rng,
     fv = {"params": params, "batch_stats": stats}
     f_hm_tr = np.asarray(fwd(fv, jnp.asarray(train_imgs)))
     f_hm_ev = np.asarray(fwd(fv, jnp.asarray(eval_imgs)))
+    if stacked:  # [B, S, H, W, K] -> last stack
+        f_hm_tr, f_hm_ev = f_hm_tr[:, -1], f_hm_ev[:, -1]
 
     # --- evaluation through ONE shared decode ----------------------------
     t_pck, t_auc, t_epe = _decode_and_score(t_hm_tr, train_joints)
