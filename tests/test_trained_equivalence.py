@@ -2,8 +2,7 @@
 
 The strongest "same trained model" evidence obtainable without real
 datasets on disk: start the reference torch model and the Flax rebuild
-(flagship litehandnet + mynet, the two original architectures) from the
-SAME weights, train BOTH for hundreds of optimizer steps on the SAME
+from the SAME weights, train BOTH for hundreds of optimizer steps on the SAME
 learnable synthetic localization task (identical images, targets, batch
 order, and Adam schedule), then evaluate BOTH trained models through the
 same batched DARK decoder and require equal PCK@0.2 / AUC / EPE.
@@ -27,9 +26,12 @@ a 32-image held-out split is also compared, loosely — at 8 training
 images generalization saturates low (~0.3) and is chaos-sensitive across
 frameworks, so only gross divergence is asserted there.
 
-Scope: litehandnet + mynet (reduced width/depth — identical on both
-sides — keeps each twin run under ~6 min CPU). Family breadth is covered
-by the 10-family battery in test_train_dynamics_parity.py; resnet18 was
+Scope: litehandnet + mynet + hourglass + srhandnet — one family per
+structurally distinct training computation (single heatmap criterion,
+stacked intermediate supervision, 4-scale region loss), width/depth
+reduced identically on both sides where the family allows it, keeping
+each twin run under ~6 min CPU. Remaining family breadth is covered by
+the 10-family battery in test_train_dynamics_parity.py; resnet18 was
 measured to memorize this task 4x slower, making its twin run
 CI-prohibitive.
 """
@@ -57,15 +59,23 @@ LR = 2e-3
 # scale). Steps chosen to saturate train-set PCK near 1.0 (measured:
 # litehandnet 0.99 at step 200; mynet 0.91 at 250-step pace, so 350)
 HG_OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
-# (refcfg_path, family, steps, model overrides, stacked output?)
+# (refcfg_path, family, steps, model overrides, training-path mode)
+# mode: "heatmap" single-map criterion | "stacked" [B,S,...] intermediate
+# supervision | "srhandnet" 4-scale multi-resolution region loss.
+# Together the three modes cover every structurally distinct heatmap
+# training computation in the reference; atthandnet's coordinate
+# regression is excluded only because the reference model is size-locked
+# to 224 inputs (its AugmentedConv reshape quirk), making a CPU twin run
+# prohibitive — its training path is covered at 224 by
+# test_train_dynamics_parity.py.
 CASES = [
     pytest.param(
         "config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py",
-        "litehandnet", 250, HG_OVERRIDES, False, marks=pytest.mark.slow,
+        "litehandnet", 250, HG_OVERRIDES, "heatmap", marks=pytest.mark.slow,
     ),
     pytest.param(
         "config/mynet/_2_freihand2d_224x224_dark.py",
-        "mynet", 350, HG_OVERRIDES, False, marks=pytest.mark.slow,
+        "mynet", 350, HG_OVERRIDES, "heatmap", marks=pytest.mark.slow,
     ),
     # stacked-hourglass lineage: intermediate supervision on every stack,
     # stacked [B, S, ...] targets, decode from the LAST stack (reference
@@ -73,8 +83,15 @@ CASES = [
     pytest.param(
         "config/hourglass/_2_freihand2d_224x224_dark_h2.py",
         "hourglass", 250,
-        dict(num_stack=2, num_level=2, input_channel=64), True,
+        dict(num_stack=2, num_level=2, input_channel=64), "stacked",
         marks=pytest.mark.slow,
+    ),
+    # SRHandNet: fixed-width (no reduction knobs exist), 4 outputs at 3
+    # resolutions, 22-channel point + 2-channel wh split loss
+    # (loss/loss.py:41-57), decode from outputs[-1][:, :21] (test.py:117)
+    pytest.param(
+        "config/srhandnet/_1_freihand2d_224x224_region.py",
+        "srhandnet", 200, {}, "srhandnet", marks=pytest.mark.slow,
     ),
 ]
 
@@ -113,6 +130,35 @@ def _heatmap_targets(joints):
     ])  # [N, HM, HM, K]
 
 
+def _srhandnet_targets(joints, out_hw):
+    """Per-scale SRHandNet targets: 21 kpt gaussians + the region-map
+    triple (center gaussian, 5x5 w/h-ratio patches around the center
+    cell) — the layout SRHandNetGenerateTarget paints
+    (generateTarget.py:321-366). Center/size are derived from the joint
+    cloud, so both region channels are learnable from the image."""
+    from litehandnet_tpu.ops.encode import msra_heatmaps
+
+    n = joints.shape[0]
+    centers = joints.mean(axis=1, keepdims=True)           # [N, 1, 2] px
+    wh = ((joints.max(1) - joints.min(1)) / SIZE).astype(np.float32)
+    outs = []
+    for h, w in out_hw:
+        kpt = np.stack([np.asarray(msra_heatmaps(
+            j, np.ones(K), (SIZE, SIZE), (h, w), 1.5, unbiased=True
+        )[0]) for j in joints])                            # [N, h, w, K]
+        cen = np.stack([np.asarray(msra_heatmaps(
+            c, np.ones(1), (SIZE, SIZE), (h, w), 1.5, unbiased=True
+        )[0]) for c in centers])                           # [N, h, w, 1]
+        whmap = np.zeros((n, h, w, 2), np.float32)
+        cx = np.clip((centers[:, 0, 0] * w / SIZE).astype(int), 0, w - 1)
+        cy = np.clip((centers[:, 0, 1] * h / SIZE).astype(int), 0, h - 1)
+        for i in range(n):
+            whmap[i, max(cy[i] - 2, 0):cy[i] + 3,
+                  max(cx[i] - 2, 0):cx[i] + 3] = wh[i]
+        outs.append(np.concatenate([kpt, cen, whmap], -1).astype(np.float32))
+    return outs
+
+
 def _decode_and_score(hm_nhwc, joints):
     """Shared decode path for both frameworks: batched DARK + unwarp, then
     PCK@0.2 / AUC / EPE exactly as the reference's _report_metric
@@ -140,10 +186,10 @@ def _decode_and_score(hm_nhwc, joints):
     return float(pck), float(auc), float(epe)
 
 
-@pytest.mark.parametrize("refcfg_path,family,steps,overrides,stacked",
+@pytest.mark.parametrize("refcfg_path,family,steps,overrides,mode",
                          CASES)
 def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
-                                   stacked, rng, monkeypatch):
+                                   mode, rng, monkeypatch):
     import jax
     import jax.numpy as jnp
     import optax
@@ -175,22 +221,38 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     )
     variables = import_torch_state_dict(family, tm.state_dict(), target_vars)
     criterion = get_loss(cfg)
-    n_stack = int(refcfg.MODEL.get("num_stack", 1)) if stacked else 0
-    out_shape = (
-        (BATCH, n_stack, HM, HM, K) if stacked else (BATCH, HM, HM, K)
-    )
-    crit_vars = criterion.init(
-        jax.random.PRNGKey(1), jnp.zeros(out_shape),
-        {"target": jnp.zeros(out_shape),
-         "target_weight": jnp.ones((BATCH, K))},
-    )
+    n_stack = int(refcfg.MODEL.get("num_stack", 1)) if mode == "stacked" else 0
+    if mode == "srhandnet":
+        with torch.no_grad():
+            probe = tm(torch.zeros(1, 3, SIZE, SIZE))
+        out_hw = [tuple(o.shape[2:]) for o in probe]
+        zero_out = [jnp.zeros((BATCH, h, w, 24)) for h, w in out_hw]
+        crit_vars = criterion.init(
+            jax.random.PRNGKey(1), zero_out,
+            {"target": zero_out,
+             "target_weight": [jnp.ones((BATCH, 24))] * len(out_hw)},
+        )
+    else:
+        out_shape = (
+            (BATCH, n_stack, HM, HM, K) if mode == "stacked"
+            else (BATCH, HM, HM, K)
+        )
+        crit_vars = criterion.init(
+            jax.random.PRNGKey(1), jnp.zeros(out_shape),
+            {"target": jnp.zeros(out_shape),
+             "target_weight": jnp.ones((BATCH, K))},
+        )
     assert not crit_vars.get("params"), "heatmap criterion owns no params"
 
     # --- identical data + batch schedule for both frameworks -------------
     train_imgs, train_joints = _make_split(rng, N_TRAIN)
     eval_imgs, eval_joints = _make_split(rng, N_EVAL)
-    train_tgts = _heatmap_targets(train_joints)
-    weights = np.ones((N_TRAIN, K), np.float32)
+    if mode == "srhandnet":
+        train_tgts_ms = _srhandnet_targets(train_joints, out_hw)
+        weights = np.ones((N_TRAIN, 24), np.float32)
+    else:
+        train_tgts = _heatmap_targets(train_joints)
+        weights = np.ones((N_TRAIN, K), np.float32)
 
     order_rng = np.random.RandomState(11)
     batches = []
@@ -205,7 +267,7 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     t_losses = []
     for idx in batches:
         x = torch.from_numpy(train_imgs[idx].transpose(0, 3, 1, 2))
-        if stacked:
+        if mode == "stacked":
             t = np.tile(
                 train_tgts[idx][:, None], (1, n_stack, 1, 1, 1)
             )  # [b, S, HM, HM, K]
@@ -214,6 +276,16 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
                 "target_weight": torch.from_numpy(np.tile(
                     weights[idx][:, None, :, None], (1, n_stack, 1, 1)
                 )),
+            }
+        elif mode == "srhandnet":
+            meta = {
+                "target": [
+                    torch.from_numpy(t[idx].transpose(0, 3, 1, 2))
+                    for t in train_tgts_ms
+                ],
+                "target_weight": [
+                    torch.from_numpy(weights[idx][..., None])
+                ] * len(out_hw),
             }
         else:
             meta = {
@@ -232,8 +304,10 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     with torch.no_grad():
         t_hm_tr = tm(torch.from_numpy(train_imgs.transpose(0, 3, 1, 2)))
         t_hm_ev = tm(torch.from_numpy(eval_imgs.transpose(0, 3, 1, 2)))
-    if stacked:  # [B, S, K, H, W] -> last stack
+    if mode == "stacked":  # [B, S, K, H, W] -> last stack
         t_hm_tr, t_hm_ev = t_hm_tr[:, -1], t_hm_ev[:, -1]
+    elif mode == "srhandnet":  # last scale, kpt channels (test.py:117)
+        t_hm_tr, t_hm_ev = t_hm_tr[-1][:, :K], t_hm_ev[-1][:, :K]
     t_hm_tr = np.asarray(t_hm_tr).transpose(0, 2, 3, 1)
     t_hm_ev = np.asarray(t_hm_ev).transpose(0, 2, 3, 1)
 
@@ -262,22 +336,28 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
 
     f_losses = []
     for idx in batches:
-        tgt = train_tgts[idx]
-        if stacked:
-            tgt = np.tile(tgt[:, None], (1, n_stack, 1, 1, 1))
+        if mode == "srhandnet":
+            tgt = [jnp.asarray(t[idx]) for t in train_tgts_ms]
+            w = [jnp.asarray(weights[idx])] * len(out_hw)
+        else:
+            tgt = train_tgts[idx]
+            if mode == "stacked":
+                tgt = np.tile(tgt[:, None], (1, n_stack, 1, 1, 1))
+            tgt, w = jnp.asarray(tgt), jnp.asarray(weights[idx])
         params, stats, opt_state, loss = step(
-            params, stats, opt_state,
-            jnp.asarray(train_imgs[idx]), jnp.asarray(tgt),
-            jnp.asarray(weights[idx]),
+            params, stats, opt_state, jnp.asarray(train_imgs[idx]), tgt, w,
         )
         f_losses.append(float(loss))
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     fv = {"params": params, "batch_stats": stats}
-    f_hm_tr = np.asarray(fwd(fv, jnp.asarray(train_imgs)))
-    f_hm_ev = np.asarray(fwd(fv, jnp.asarray(eval_imgs)))
-    if stacked:  # [B, S, H, W, K] -> last stack
+    f_hm_tr = fwd(fv, jnp.asarray(train_imgs))
+    f_hm_ev = fwd(fv, jnp.asarray(eval_imgs))
+    if mode == "stacked":  # [B, S, H, W, K] -> last stack
         f_hm_tr, f_hm_ev = f_hm_tr[:, -1], f_hm_ev[:, -1]
+    elif mode == "srhandnet":  # last scale, kpt channels
+        f_hm_tr, f_hm_ev = f_hm_tr[-1][..., :K], f_hm_ev[-1][..., :K]
+    f_hm_tr, f_hm_ev = np.asarray(f_hm_tr), np.asarray(f_hm_ev)
 
     # --- evaluation through ONE shared decode ----------------------------
     t_pck, t_auc, t_epe = _decode_and_score(t_hm_tr, train_joints)
