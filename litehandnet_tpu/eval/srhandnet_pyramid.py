@@ -32,15 +32,16 @@ import numpy as np
 
 
 def _nms_peaks(hm: jnp.ndarray, k: int, threshold: float):
-    """Top-k local maxima of a 2-D map (3x3 max-pool NMS; the reference uses
-    skimage peak_local_max with min_distance=2)."""
+    """Top-k local maxima of a 2-D map (5x5 max-pool NMS — skimage
+    peak_local_max(min_distance=2) semantics, the reference's
+    official_code.py:52)."""
     H, W = hm.shape
     pooled = jax.lax.reduce_window(
         hm, -jnp.inf, jax.lax.max, (5, 5), (1, 1), "SAME"
     )
-    is_peak = (hm >= pooled) & (hm >= threshold)
-    # exclude borders, as the reference does
-    border = jnp.zeros_like(hm, bool).at[1:-1, 1:-1].set(True)
+    # strict threshold + exclude_border=True excludes min_distance=2 pixels
+    is_peak = (hm >= pooled) & (hm > threshold)
+    border = jnp.zeros_like(hm, bool).at[2:-2, 2:-2].set(True)
     scores = jnp.where(is_peak & border, hm, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(scores, k)
     ys, xs = idx // W, idx % W
