@@ -26,11 +26,12 @@ a 32-image held-out split is also compared, loosely — at 8 training
 images generalization saturates low (~0.3) and is chaos-sensitive across
 frameworks, so only gross divergence is asserted there.
 
-Scope: litehandnet + mynet + hourglass + srhandnet — one family per
-structurally distinct training computation (single heatmap criterion,
-stacked intermediate supervision, 4-scale region loss), width/depth
+Scope: litehandnet + mynet + hourglass + srhandnet + mynet-simdr — one
+case per structurally distinct training computation (single heatmap
+criterion, stacked intermediate supervision, 4-scale region loss, SimDR
+supervision with criterion-owned trainable decoders), width/depth
 reduced identically on both sides where the family allows it, keeping
-each twin run under ~6 min CPU. Remaining family breadth is covered by
+each twin run under ~7 min CPU. Remaining family breadth is covered by
 the 10-family battery in test_train_dynamics_parity.py; resnet18 was
 measured to memorize this task 4x slower, making its twin run
 CI-prohibitive.
@@ -61,8 +62,9 @@ LR = 2e-3
 HG_OVERRIDES = dict(input_channel=32, num_stage=3, num_block=[1, 1])
 # (refcfg_path, family, steps, model overrides, training-path mode)
 # mode: "heatmap" single-map criterion | "stacked" [B,S,...] intermediate
-# supervision | "srhandnet" 4-scale multi-resolution region loss.
-# Together the three modes cover every structurally distinct heatmap
+# supervision | "srhandnet" 4-scale multi-resolution region loss |
+# "simdr" heatmap + SimDR loss with criterion-owned linear decoders.
+# Together the four modes cover every structurally distinct heatmap
 # training computation in the reference; atthandnet's coordinate
 # regression is excluded only because the reference model is size-locked
 # to 224 inputs (its AugmentedConv reshape quirk), making a CPU twin run
@@ -92,6 +94,15 @@ CASES = [
     pytest.param(
         "config/srhandnet/_1_freihand2d_224x224_region.py",
         "srhandnet", 200, {}, "srhandnet", marks=pytest.mark.slow,
+    ),
+    # SimDR supervision: the criterion OWNS trainable linear decoders
+    # (loss/centernet_simdr_loss.py:42-69); both frameworks optimize
+    # model + criterion params jointly for the whole horizon
+    # (optimizer_scheduler.py:8-10) and are scored through BOTH decode
+    # paths (heatmap DARK + the trained SimDR decoders)
+    pytest.param(
+        "config/mynet/_4_freihand2d_224x224_dark_simdr.py",
+        "mynet", 350, HG_OVERRIDES, "simdr", marks=pytest.mark.slow,
     ),
 ]
 
@@ -237,12 +248,24 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
             (BATCH, n_stack, HM, HM, K) if mode == "stacked"
             else (BATCH, HM, HM, K)
         )
+        init_batch = {"target": jnp.zeros(out_shape),
+                      "target_weight": jnp.ones((BATCH, K))}
+        if mode == "simdr":
+            k_ratio = int(cfg.PIPELINE.simdr_split_ratio)
+            init_batch["simdr_x"] = jnp.zeros((BATCH, K, SIZE * k_ratio))
+            init_batch["simdr_y"] = jnp.zeros((BATCH, K, SIZE * k_ratio))
         crit_vars = criterion.init(
-            jax.random.PRNGKey(1), jnp.zeros(out_shape),
-            {"target": jnp.zeros(out_shape),
-             "target_weight": jnp.ones((BATCH, K))},
+            jax.random.PRNGKey(1), jnp.zeros(out_shape), init_batch,
         )
-    assert not crit_vars.get("params"), "heatmap criterion owns no params"
+    crit_params = dict(crit_vars.get("params", {}))
+    if mode == "simdr":
+        # start both frameworks from the SAME criterion decoders (deep
+        # copy — the torch side trains in place before the flax side runs)
+        from tests.test_train_dynamics_parity import _simdr_crit_to_flax
+
+        crit_params = _simdr_crit_to_flax(ref_criterion, crit_params)
+    else:
+        assert not crit_params, "heatmap criterion owns no params"
 
     # --- identical data + batch schedule for both frameworks -------------
     train_imgs, train_joints = _make_split(rng, N_TRAIN)
@@ -253,6 +276,16 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     else:
         train_tgts = _heatmap_targets(train_joints)
         weights = np.ones((N_TRAIN, K), np.float32)
+    if mode == "simdr":
+        from litehandnet_tpu.ops.encode import simdr_targets
+
+        k_ratio = int(cfg.PIPELINE.simdr_split_ratio)
+        sx, sy = zip(*[
+            simdr_targets(j, np.ones(K), (SIZE, SIZE), k_ratio, 2.0)
+            for j in train_joints
+        ])
+        train_sx = np.stack([np.asarray(v) for v in sx])  # [N, K, SIZE*k]
+        train_sy = np.stack([np.asarray(v) for v in sy])
 
     order_rng = np.random.RandomState(11)
     batches = []
@@ -263,7 +296,12 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
 
     # --- torch side: reference model + criterion + Adam ------------------
     tm.train()
-    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    ref_criterion.train()
+    # criterion params join the optimizer (reference
+    # optimizer_scheduler.py:8-10 appends them for simdr/auto_weight)
+    opt = torch.optim.Adam(
+        list(tm.parameters()) + list(ref_criterion.parameters()), lr=LR
+    )
     t_losses = []
     for idx in batches:
         x = torch.from_numpy(train_imgs[idx].transpose(0, 3, 1, 2))
@@ -294,6 +332,9 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
                 ),
                 "target_weight": torch.from_numpy(weights[idx][..., None]),
             }
+            if mode == "simdr":
+                meta["simdr_x"] = torch.from_numpy(train_sx[idx])
+                meta["simdr_y"] = torch.from_numpy(train_sy[idx])
         loss, _ = ref_criterion(tm(x), meta)
         opt.zero_grad()
         loss.backward()
@@ -312,42 +353,52 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     t_hm_ev = np.asarray(t_hm_ev).transpose(0, 2, 3, 1)
 
     # --- flax side: same init, same batches, optax Adam -------------------
-    params, stats = variables["params"], variables["batch_stats"]
+    # model and criterion params train jointly (criterion params are empty
+    # except for the SimDR decoders), mirroring the torch optimizer above
+    trainable = {"model": variables["params"], "crit": crit_params}
+    stats = variables["batch_stats"]
     tx = optax.adam(LR)
-    opt_state = tx.init(params)
+    opt_state = tx.init(trainable)
 
     @jax.jit
-    def step(params, stats, opt_state, x, tgt, w):
-        def loss_fn(p):
+    def step(trainable, stats, opt_state, x, batch):
+        def loss_fn(tr):
             out, mutated = model.apply(
-                {"params": p, "batch_stats": stats}, x, train=True,
+                {"params": tr["model"], "batch_stats": stats}, x, train=True,
                 mutable=["batch_stats"],
             )
-            loss, _ = criterion.apply(
-                {"params": {}}, out, {"target": tgt, "target_weight": w}
-            )
+            loss, _ = criterion.apply({"params": tr["crit"]}, out, batch)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+        )(trainable)
+        updates, new_opt = tx.update(grads, opt_state, trainable)
+        return (
+            optax.apply_updates(trainable, updates), new_stats, new_opt, loss
+        )
 
     f_losses = []
     for idx in batches:
         if mode == "srhandnet":
-            tgt = [jnp.asarray(t[idx]) for t in train_tgts_ms]
-            w = [jnp.asarray(weights[idx])] * len(out_hw)
+            batch = {
+                "target": [jnp.asarray(t[idx]) for t in train_tgts_ms],
+                "target_weight": [jnp.asarray(weights[idx])] * len(out_hw),
+            }
         else:
             tgt = train_tgts[idx]
             if mode == "stacked":
                 tgt = np.tile(tgt[:, None], (1, n_stack, 1, 1, 1))
-            tgt, w = jnp.asarray(tgt), jnp.asarray(weights[idx])
-        params, stats, opt_state, loss = step(
-            params, stats, opt_state, jnp.asarray(train_imgs[idx]), tgt, w,
+            batch = {"target": jnp.asarray(tgt),
+                     "target_weight": jnp.asarray(weights[idx])}
+            if mode == "simdr":
+                batch["simdr_x"] = jnp.asarray(train_sx[idx])
+                batch["simdr_y"] = jnp.asarray(train_sy[idx])
+        trainable, stats, opt_state, loss = step(
+            trainable, stats, opt_state, jnp.asarray(train_imgs[idx]), batch,
         )
         f_losses.append(float(loss))
+    params = trainable["model"]
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     fv = {"params": params, "batch_stats": stats}
@@ -364,6 +415,55 @@ def test_trained_model_equivalence(refcfg_path, family, steps, overrides,
     f_pck, f_auc, f_epe = _decode_and_score(f_hm_tr, train_joints)
     t_epck, _, t_eepe = _decode_and_score(t_hm_ev, eval_joints)
     f_epck, _, f_eepe = _decode_and_score(f_hm_ev, eval_joints)
+
+    if mode == "simdr":
+        # second decode path: each framework's TRAINED criterion decoders
+        # project the eval-mode heatmaps to 1-D vectors, decoded by the
+        # shared SimDR decoder (top_down_eval.py:466-500 semantics)
+        from litehandnet_tpu.eval.metrics import keypoint_pck_accuracy
+        from litehandnet_tpu.ops.decode import keypoints_from_simdr
+
+        def simdr_pck(hm_nhwc, wx, bx, wy, by, joints):
+            B = hm_nhwc.shape[0]
+            flat = hm_nhwc.transpose(0, 3, 1, 2).reshape(B, K, HM * HM)
+            px, py = flat @ wx + bx, flat @ wy + by
+            center = np.tile(
+                [[SIZE / 2.0, SIZE / 2.0]], (B, 1)).astype(np.float32)
+            scale = np.tile(
+                [[SIZE / 200.0, SIZE / 200.0]], (B, 1)).astype(np.float32)
+            out = keypoints_from_simdr(
+                jnp.asarray(px), jnp.asarray(py), jnp.asarray(center),
+                jnp.asarray(scale), k_ratio,
+            )
+            preds = np.asarray(out)[..., :2]
+            _, pck, _ = keypoint_pck_accuracy(
+                preds, joints, np.ones((B, K), bool), 0.2,
+                np.tile([[SIZE, SIZE]], (B, 1)).astype(np.float32),
+            )
+            return float(pck)
+
+        sd = ref_criterion.state_dict()
+        t_spck = simdr_pck(
+            t_hm_tr,
+            np.asarray(sd["simdr_loss.x_shared_decoder.weight"]).T,
+            np.asarray(sd["simdr_loss.x_shared_decoder.bias"]),
+            np.asarray(sd["simdr_loss.y_shared_decoder.weight"]).T,
+            np.asarray(sd["simdr_loss.y_shared_decoder.bias"]),
+            train_joints,
+        )
+        fc = trainable["crit"]["simdr"]
+        f_spck = simdr_pck(
+            f_hm_tr,
+            np.asarray(fc["x_decoder"]["kernel"]),
+            np.asarray(fc["x_decoder"]["bias"]),
+            np.asarray(fc["y_decoder"]["kernel"]),
+            np.asarray(fc["y_decoder"]["bias"]),
+            train_joints,
+        )
+        print(f"\nTRAINED-EQUIVALENCE mynet-simdr decoder path: "
+              f"train-set simdr-PCK torch={t_spck:.4f} flax={f_spck:.4f}")
+        assert t_spck >= 0.90 and f_spck >= 0.90, (t_spck, f_spck)
+        assert abs(t_spck - f_spck) <= 0.05, (t_spck, f_spck)
 
     # committed-evidence hook: printed so full-suite logs (TESTS_rN.txt,
     # run with -rA) record the measured numbers per round
