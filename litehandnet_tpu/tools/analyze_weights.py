@@ -22,7 +22,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from litehandnet_tpu.config import get_config
     from litehandnet_tpu.models import get_model
@@ -38,20 +37,15 @@ def main(argv=None):
     )
     params = variables["params"]
 
+    # raw restore: no template, so the analysis never depends on how the
+    # training run was configured (crit_params / loss_scaler / optimizer tree)
     ckpt = CheckpointManager(run_dir(cfg), cfg)
-    try:
-        from litehandnet_tpu.losses import get_loss
-        from litehandnet_tpu.train.optim import make_optimizer_from_config
-        from litehandnet_tpu.train.state import TrainState
-
-        tx, _ = make_optimizer_from_config(cfg, steps_per_epoch=1)
-        template = TrainState.create(variables, {}, tx)
-        state, _ = ckpt.restore(template, best=args.load_best)
-        if state is not None:
-            params = state.params
-            print("analyzed restored checkpoint", flush=True)
-    except Exception as e:
-        print(f"no checkpoint ({type(e).__name__}); analyzing init", flush=True)
+    state, _ = ckpt.restore_raw(best=args.load_best)
+    if state is not None:
+        params = state["params"]
+        print("analyzed restored checkpoint", flush=True)
+    else:
+        print("no checkpoint; analyzing init", flush=True)
 
     hists = parameter_histograms(params)
     rows = sorted(

@@ -39,7 +39,8 @@ def main(argv=None):
     from litehandnet_tpu.data.dataset_info import DATASET_INFOS, DatasetInfo
     from litehandnet_tpu.eval.decoder import TopDownDecoder
     from litehandnet_tpu.eval.result_parser import ResultParser
-    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.models import fuse_params, get_model
+    from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
     from litehandnet_tpu.utils.vis import draw_bbox, draw_keypoints
 
     cfg = get_config(args.cfg)
@@ -50,6 +51,21 @@ def main(argv=None):
     model = get_model(cfg)
     x0 = jnp.zeros((1, H, W, 3))
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    # load the trained run for this config, like tools/test.py (reference
+    # test.py:77-99); a raw restore so the demo doesn't need to rebuild the
+    # training run's criterion/optimizer/scaler tree
+    saved, _ = CheckpointManager(run_dir(cfg), cfg).restore_raw(
+        best=args.load_best)
+    if saved is None:
+        print("no checkpoint found; running random init", flush=True)
+    else:
+        variables = {"params": saved["params"]}
+        if saved.get("batch_stats"):
+            variables["batch_stats"] = saved["batch_stats"]
+    if cfg.MODEL.name.lower() == "litehandnet":
+        # deploy-mode fusion (reference test.py:106-107)
+        model = get_model(cfg, deploy=True)
+        variables = fuse_params(variables)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     mean = np.array([0.485, 0.456, 0.406], np.float32)

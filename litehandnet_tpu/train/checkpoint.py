@@ -84,6 +84,18 @@ class CheckpointManager:
 
     def restore(self, state_template, best: bool = False):
         """Restore (state, meta). Returns (None, None) when absent."""
+        return self._restore(state_template, best)
+
+    def restore_raw(self, best: bool = False):
+        """Restore (pytree-of-dicts, meta) without a typed template.
+
+        For read-only consumers (demo, weight analysis) that only need
+        `params`/`batch_stats` and must not depend on how the training run
+        was configured (crit_params, loss_scaler, optimizer tree).
+        """
+        return self._restore(None, best)
+
+    def _restore(self, state_template, best: bool):
         name = "best" if best else "checkpoint"
         path = self._slot(name)
         if not os.path.exists(path):

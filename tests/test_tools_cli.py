@@ -1,0 +1,93 @@
+"""Smoke-drive the demo and weight-analysis CLIs with a trained checkpoint
+present: both must pick up the saved run via ``CheckpointManager.restore_raw``
+(a template-free restore, so these read-only tools never depend on how the
+training run was configured), and the demo must apply deploy-mode RepConv
+fusion for litehandnet (reference test.py:77-107, utils/weight_analysis.py).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tool_setup(tmp_path_factory):
+    """Tiny litehandnet config + a saved checkpoint whose params are
+    perturbed away from init, so "restored" is distinguishable."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.models import get_model
+    from litehandnet_tpu.train.checkpoint import CheckpointManager, run_dir
+    from litehandnet_tpu.train.state import TrainState
+
+    root = tmp_path_factory.mktemp("tools_cli")
+    ckpt_root = root / "ckpts"
+    cfg_file = root / "exp_cfg.py"
+    cfg_file.write_text(f"""
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    cfg = make_cfg(
+        "litehandnet", "freihand", exp_id=998, image_size=64,
+        **{{"MODEL.input_channel": 32, "MODEL.num_stage": 3,
+           "MODEL.num_block": [1, 1]}})
+    cfg["CHECKPOINT"]["save_root"] = {str(ckpt_root) + "/"!r}
+    return cfg
+""")
+
+    cfg = get_config(str(cfg_file))
+    model = get_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    # scale every param by 3 so restored-vs-init is detectable in stats
+    variables = dict(variables)
+    variables["params"] = jax.tree.map(lambda p: p * 3.0, variables["params"])
+    state = TrainState.create(variables, {}, optax.sgd(0.1))
+    CheckpointManager(run_dir(cfg), cfg).save(state, epoch=1)
+
+    expect_std = {
+        "/".join(str(k.key) for k in path): float(jnp.std(leaf))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            variables["params"])[0]
+    }
+    return str(cfg_file), str(root), expect_std
+
+
+def test_analyze_weights_restores_checkpoint(tool_setup, capsys):
+    from litehandnet_tpu.tools.analyze_weights import main
+
+    cfg_file, root, expect_std = tool_setup
+    out_json = os.path.join(root, "weights.json")
+    main(["--cfg", cfg_file, "--out", out_json, "--top", "5"])
+    assert "analyzed restored checkpoint" in capsys.readouterr().out
+
+    hists = json.load(open(out_json))
+    assert len(hists) == len(expect_std)
+    # the histogram stats must describe the (perturbed) checkpoint, not init
+    for name, h in hists.items():
+        assert np.isclose(h["std"], expect_std[name], rtol=1e-4), name
+
+
+def test_demo_runs_fused_checkpoint(tool_setup, capsys, tmp_path):
+    from PIL import Image
+
+    from litehandnet_tpu.tools.demo import main
+
+    cfg_file, _, _ = tool_setup
+    img = tmp_path / "frame.jpg"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (96, 96, 3), np.uint8)
+    ).save(img)
+    out_dir = tmp_path / "demo_out"
+    main(["--cfg", cfg_file, "--inputs", str(img), "--out-dir", str(out_dir)])
+
+    out = capsys.readouterr().out
+    assert "no checkpoint found" not in out
+    assert (out_dir / "frame.jpg").exists()
