@@ -21,6 +21,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="litehandnet_tpu evaluator")
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--load-best", action="store_true")
+    parser.add_argument("--train", action="store_true",
+                        help="evaluate the train split (reference "
+                             "test.py:41-44,71-73)")
+    parser.add_argument("--allow-init", action="store_true",
+                        help="evaluate random init when no checkpoint exists "
+                             "(the reference raises, test.py:100-101)")
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--vis-dir", default=None)
     parser.add_argument("--bf16", action="store_true")
@@ -42,6 +48,10 @@ def main(argv=None):
     from litehandnet_tpu.train.state import TrainState
 
     cfg = get_config(args.cfg)
+    if args.train:
+        # point the test split at the train annotations (test.py:71-73)
+        cfg.DATASET.test.ann_file = cfg.DATASET.train.ann_file
+        cfg.DATASET.test.img_prefix = cfg.DATASET.train.img_prefix
     dtype = jnp.bfloat16 if args.bf16 else None
 
     loader = DataLoader(
@@ -78,6 +88,13 @@ def main(argv=None):
         ckpt = CheckpointManager(run_dir(cfg), cfg)
         state, meta = ckpt.restore(template, best=args.load_best)
         if state is None:
+            if not args.allow_init:
+                # the reference refuses to evaluate without a trained model
+                # (test.py:100-101)
+                raise FileNotFoundError(
+                    f"model not exist! no checkpoint under {run_dir(cfg)} "
+                    "(pass --allow-init to evaluate random init)"
+                )
             print("no checkpoint found; evaluating random init", flush=True)
             state = template
         variables = {"params": state.params}
@@ -131,7 +148,10 @@ def main(argv=None):
 
         out_dir = args.vis_dir or run_dir(cfg)
         os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "best_pth_metric.json"), "w") as f:
+        # file name tracks which slot was evaluated (reference test.py:53-61)
+        metric_file = ("best_pth_metric.json" if args.load_best
+                       else "checkpoint_pth_metric.json")
+        with open(os.path.join(out_dir, metric_file), "w") as f:
             json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
 
         if simdr_results:

@@ -24,17 +24,24 @@ import numpy as np
 
 def sine_decay_schedule(base_lr: float, steps_per_epoch: int, T: int = 40,
                         lr_gamma: float = 0.5):
-    """Per-epoch sine-decay schedule (reference :110-113)."""
+    """Per-epoch sine-decay schedule (reference :110-113).
+
+    The reference steps its LambdaLR only while lr > 5e-7 (:215-217); the
+    cosine reaches ~0 at the end of the FIRST period, so the scheduler
+    freezes there and the ``epoch % period`` restart never actually fires.
+    This schedule reproduces that de-facto behavior: one cosine decay,
+    floored at 5e-7 (the frozen reference value lies in [0, 5e-7])."""
 
     def schedule(step):
         import jax.numpy as jnp
 
         epoch = step / steps_per_epoch
         period = T + epoch / T
-        frac = (epoch % period) / period
-        return base_lr * jnp.cos(frac * jnp.pi / 2) * (
+        frac = jnp.minimum(epoch / period, 1.0)
+        lr = base_lr * jnp.cos(frac * jnp.pi / 2) * (
             lr_gamma ** (epoch / T)
         )
+        return jnp.maximum(lr, 5e-7)
 
     return schedule
 
@@ -162,7 +169,9 @@ def main(argv=None):
         agg = {k: v / max(n, 1) for k, v in agg.items()}
         logger.log(epoch, agg, prefix="train/")
         eval_interval = int(cfg.EVAL.get("interval", 1) or 1)
-        if is_chief() and (epoch + 1) % eval_interval == 0:
+        # reference cadence: epoch % eval_interval == 0 (run() loop,
+        # train_distributed_center_simdr_freihand.py:341-343)
+        if is_chief() and epoch % eval_interval == 0:
             if val_loader is None:
                 val_loader = DataLoader(
                     cfg, "val", batch_size=batch, num_workers=args.workers,

@@ -104,7 +104,21 @@ class Trainer:
         )
         if restored is None:
             return state
+        if not self.cfg.OPTIMIZER.get("resume", True):
+            # weights-only resume (dist_train.py:101-111 gates the
+            # optimizer-state/epoch reload on OPTIMIZER.resume): reload
+            # params/BN stats/criterion params, keep a fresh optimizer,
+            # epoch 0, and a reset best-loss floor
+            return self._replicate(state.replace(
+                params=restored.params,
+                batch_stats=restored.batch_stats,
+                crit_params=restored.crit_params,
+            ))
         self.start_epoch = int(meta.get("epoch", -1)) + 1
+        # the reference resets the floor to 1e6 on every resume — it saves
+        # the key as 'min_val_sum' but reads 'min_val_loss'
+        # (dist_train.py:100,214), so a resumed run can overwrite `best`
+        # with a worse model; restoring the true floor fixes that (PARITY.md)
         self.min_val_loss = float(meta.get("min_val_loss", float("inf")))
         return self._replicate(restored)
 
@@ -162,7 +176,9 @@ class Trainer:
                 f"epoch {epoch}: train_loss={train_metrics.get('loss', np.nan):.5f}"
                 f" ({time.time() - t0:.1f}s)"
             )
-            if val_batches is not None and (epoch + 1) % eval_interval == 0:
+            # reference cadence (dist_train.py:181): epoch % interval == 0,
+            # which includes the FIRST epoch of the run
+            if val_batches is not None and epoch % eval_interval == 0:
                 val_metrics = self.val_one_epoch(state, val_batches(), epoch)
                 # reference gates on the criterion's total (dist_train.py:208
                 # `val_loss_dict['sum']`), which is our "loss" entry; summing
@@ -174,10 +190,13 @@ class Trainer:
                 # (every process must enter; orbax elects the writer). The
                 # gate value is the pmean'ed val loss, identical on every
                 # process, so all processes take the same branch.
-                if val_loss < self.min_val_loss:
+                # `<=` like the reference (dist_train.py:209 saves on ties)
+                if val_loss <= self.min_val_loss:
                     self.min_val_loss = val_loss
                     self.ckpt.save(state, epoch, self.min_val_loss, best=True)
-            if (epoch + 1) % ckpt_interval == 0:
+            # periodic save + an unconditional final-epoch save
+            # (dist_train.py:224-225)
+            if epoch % ckpt_interval == 0 or epoch == total_epochs - 1:
                 self.ckpt.save(state, epoch, self.min_val_loss)
             if is_chief():
                 print(msg, flush=True)

@@ -58,9 +58,21 @@ def _get_cfg():
 def test_eval_cli_decodes_simdr(tiny_simdr_setup):
     from litehandnet_tpu.tools.test import main
 
-    name_value = main(["--cfg", tiny_simdr_setup, "--batch-size", "4"])
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.train.checkpoint import run_dir
+
+    # without a trained checkpoint the evaluator refuses, like the reference
+    # (test.py:100-101) — --allow-init opts into random-init evaluation
+    with pytest.raises(FileNotFoundError, match="model not exist"):
+        main(["--cfg", tiny_simdr_setup, "--batch-size", "4"])
+
+    name_value = main(["--cfg", tiny_simdr_setup, "--batch-size", "4",
+                       "--allow-init"])
     # heatmap metrics present
     assert "PCK" in name_value and "AUC" in name_value
     # SimDR branch decoded and evaluated (reference test.py:144-147)
     assert "simdr_AUC" in name_value, sorted(name_value)
     assert np.isfinite(float(name_value["simdr_AUC"]))
+    # metric file name tracks the evaluated slot (reference test.py:53-61)
+    assert os.path.exists(os.path.join(
+        run_dir(get_config(tiny_simdr_setup)), "checkpoint_pth_metric.json"))

@@ -66,7 +66,9 @@ def _get_cfg():
                              resume=False)
     cfg["PIPELINE"].update(flip_prob=0, rot_prob=0, rot_factor=0,
                            scale_factor=0)
-    cfg["TRAIN"].update(batch_per_gpu=8, total_epoches=220)
+    # 221 so the last eval lands on epoch 220 under the reference cadence
+    # (epoch % interval == 0 -> 0, 20, ..., 220; dist_train.py:181)
+    cfg["TRAIN"].update(batch_per_gpu=8, total_epoches=221)
     cfg["OPTIMIZER"].update(lr=2e-3, warmup_steps=0, step_epoch=[1000])
     cfg["EVAL"]["interval"] = 20
     return cfg

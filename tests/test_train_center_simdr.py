@@ -86,3 +86,31 @@ def test_sine_decay_schedule_shape():
     v_end = float(sched(10 * 39))  # epoch 39
     assert v0 == pytest.approx(1.0)
     assert v0 > v_mid > v_end > 0.0
+
+
+def test_sine_decay_matches_reference_lambda_lr():
+    """Golden vs the reference's LambdaLR stepping rule: lr during epoch e
+    is base*lambda1(counter), and the counter only advances while
+    lr > 5e-7 (train_distributed_center_simdr_freihand.py:110-113,215-217)
+    — so the cosine freezes near the end of the first period and never
+    restarts. Our schedule floors at 5e-7 instead; the frozen reference
+    value lies in [0, 5e-7], so they agree to within 5e-7 everywhere."""
+    from litehandnet_tpu.tools.train_center_simdr import sine_decay_schedule
+
+    T, gamma, base = 40, 0.5, 1e-3
+    sched = sine_decay_schedule(base, steps_per_epoch=1, T=T, lr_gamma=gamma)
+
+    def lambda1(e):
+        period = T + e / T
+        return np.cos((e % period) / period * np.pi / 2) * gamma ** (e / T)
+
+    counter = 0
+    froze = False
+    for epoch in range(120):
+        ref_lr = base * lambda1(counter)
+        assert abs(float(sched(epoch)) - ref_lr) <= 5e-7, (epoch, ref_lr)
+        if ref_lr > 5e-7:
+            counter += 1
+        else:
+            froze = True
+    assert froze  # the freeze fires within the first period (never restarts)
