@@ -139,4 +139,16 @@ def get_config(cfg_path: str) -> Config:
         )
     if not hasattr(module, "_get_cfg"):
         raise ValueError(f"config {cfg_path!r} does not define _get_cfg()")
-    return config_from_dict(module._get_cfg())
+    cfg = config_from_dict(module._get_cfg())
+    # reference cross-check (utils/misc.py:14-15): a `_<id>_...` file name
+    # must agree with the config's ID — catches copy-paste experiment mixups
+    stem_parts = os.path.splitext(os.path.basename(cfg_path))[0].split("_")
+    if (len(stem_parts) > 1 and stem_parts[0] == ""
+            and stem_parts[1].isdigit()):
+        file_id = int(stem_parts[1])
+        if cfg.get("ID") != file_id:
+            raise ValueError(
+                f"config file id {file_id} != cfg ID {cfg.get('ID')} "
+                f"({cfg_path}; reference utils/misc.py:14-15)"
+            )
+    return cfg

@@ -211,3 +211,25 @@ def test_wholebody_part_matches_reference(part):
     ref.accumulate()
     ref.summarize()
     np.testing.assert_allclose(mine, ref.stats, atol=1e-6, rtol=0)
+
+
+def test_eval_wholebody_cli(capsys):
+    """CLI smoke of tools/eval_wholebody.py on the reference's own example
+    GT/pred files (the evaluator itself is parity-tested above)."""
+    import os.path as osp
+
+    from tests import ref_loader
+
+    if not ref_loader.reference_available():
+        pytest.skip("reference checkout absent")
+    from litehandnet_tpu.tools.eval_wholebody import main
+
+    gt_file = osp.join(ref_loader.REF_ROOT, ref_loader.WHOLEBODY_DIR,
+                       "example_gt.json")
+    pred_file = osp.join(ref_loader.REF_ROOT, ref_loader.WHOLEBODY_DIR,
+                         "example_pred.json")
+    results = main(["--gt_file", gt_file, "--res_file", pred_file,
+                    "--parts", "lefthand", "righthand"])
+    assert results and all(np.isfinite(v) for v in results.values())
+    out = capsys.readouterr().out
+    assert "lefthand" in out and "righthand" in out

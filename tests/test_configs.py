@@ -76,3 +76,19 @@ def test_reproduce_auc_grid_and_skip_path(tmp_path):
         os.chdir(cwd)
     assert results["litehandnet"]["freihand"]["status"] == "SKIPPED(no data)"
     assert out.is_file()
+
+
+def test_filename_id_cross_check(tmp_path):
+    """Reference-style `_<id>_...` config file names must agree with the
+    config's ID (reference utils/misc.py:14-15 asserts this before building
+    the output path); other naming styles are exempt."""
+    import pytest
+
+    bad = tmp_path / "_7_mismatched_experiment.py"
+    bad.write_text("def _get_cfg():\n    return {'ID': 9}\n")
+    with pytest.raises(ValueError, match="file id 7"):
+        get_config(str(bad))
+
+    ok = tmp_path / "freely_named_cfg.py"  # no leading-underscore id
+    ok.write_text("def _get_cfg():\n    return {'ID': 9}\n")
+    assert get_config(str(ok)).ID == 9
