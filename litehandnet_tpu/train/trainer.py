@@ -53,6 +53,7 @@ class Trainer:
         use_axis = sync_bn and int(self.mesh.devices.size) > 1
         self.model = get_model(cfg, axis_name="data" if use_axis else None)
         self.criterion = get_loss(cfg)
+        self._world = world
         self.tx, self.schedule = make_optimizer_from_config(
             cfg, steps_per_epoch=steps_per_epoch, world_size=world
         )
@@ -108,12 +109,30 @@ class Trainer:
             # weights-only resume (dist_train.py:101-111 gates the
             # optimizer-state/epoch reload on OPTIMIZER.resume): reload
             # params/BN stats/criterion params, keep a fresh optimizer,
-            # epoch 0, and a reset best-loss floor
-            return self._replicate(state.replace(
-                params=restored.params,
-                batch_stats=restored.batch_stats,
-                crit_params=restored.crit_params,
-            ))
+            # epoch 0, and a reset best-loss floor. The reference also
+            # SKIPS its warmup pre-pass whenever a checkpoint exists
+            # (dist_train.py:145-147), so rebuild the schedule without
+            # warmup — training restarts at full LR with epoch-0 decay
+            # boundaries, not a replayed ramp.
+            if int(self.cfg.OPTIMIZER.get("warmup_steps", 0) or 0) > 0:
+                from litehandnet_tpu.config import config_from_dict
+
+                cfg_nowarm = config_from_dict(self.cfg.to_dict())
+                cfg_nowarm.OPTIMIZER.warmup_steps = 0
+                self.tx, self.schedule = make_optimizer_from_config(
+                    cfg_nowarm, steps_per_epoch=self.steps_per_epoch,
+                    world_size=self._world,
+                )
+                self.train_step = make_train_step(
+                    self.model, self.criterion, self.tx, self.mesh
+                )
+            fresh = TrainState.create(
+                {"params": restored.params,
+                 "batch_stats": restored.batch_stats},
+                {"params": restored.crit_params},
+                self.tx, loss_scaler=state.loss_scaler,
+            )
+            return self._replicate(fresh)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         # the reference resets the floor to 1e6 on every resume — it saves
         # the key as 'min_val_sum' but reads 'min_val_loss'

@@ -121,8 +121,13 @@ def test_weights_only_resume(trained):
 
     root, _, state, _, _, _, _ = trained
     cfg = _tiny_cfg(root, **{"CHECKPOINT.resume": True,
-                             "OPTIMIZER.resume": False})
+                             "OPTIMIZER.resume": False,
+                             "OPTIMIZER.warmup_steps": 50})
     trainer = Trainer(cfg, steps_per_epoch=1, num_devices=1)
+    base_lr = float(cfg.OPTIMIZER.lr)
+    # before resume the schedule starts on the warmup ramp
+    assert float(trainer.schedule(0)) == pytest.approx(base_lr / 50,
+                                                       rel=1e-4)
     resumed = trainer.maybe_resume(trainer.init_state(_batch(
         np.random.RandomState(0)), seed=0))
     # weights reloaded...
@@ -133,3 +138,6 @@ def test_weights_only_resume(trained):
     assert trainer.start_epoch == 0
     assert int(resumed.step) == 0
     assert trainer.min_val_loss == float("inf")
+    # and the warmup pre-pass is skipped like the reference
+    # (dist_train.py:145-147): full LR from step 0
+    assert float(trainer.schedule(0)) == pytest.approx(base_lr)
