@@ -126,6 +126,7 @@ def get_config(cfg_path: str) -> Config:
         ``litehandnet/freihand_224x224_dark`` or the same with dots).
     """
     if os.path.isfile(cfg_path):
+        stem = os.path.splitext(os.path.basename(cfg_path))[0]
         spec = importlib.util.spec_from_file_location("_exp_cfg", cfg_path)
         assert spec is not None and spec.loader is not None, cfg_path
         module = importlib.util.module_from_spec(spec)
@@ -134,6 +135,9 @@ def get_config(cfg_path: str) -> Config:
         name = cfg_path.replace("/", ".").replace("\\", ".")
         if name.endswith(".py"):
             name = name[: -len(".py")]
+        # the module file's stem is the last dotted segment (for
+        # `mynet._1_freihand2d_224x224` that is `_1_freihand2d_224x224`)
+        stem = name.rsplit(".", 1)[-1]
         module = importlib.import_module(
             f"litehandnet_tpu.config.experiments.{name}"
         )
@@ -142,7 +146,7 @@ def get_config(cfg_path: str) -> Config:
     cfg = config_from_dict(module._get_cfg())
     # reference cross-check (utils/misc.py:14-15): a `_<id>_...` file name
     # must agree with the config's ID — catches copy-paste experiment mixups
-    stem_parts = os.path.splitext(os.path.basename(cfg_path))[0].split("_")
+    stem_parts = stem.split("_")
     if (len(stem_parts) > 1 and stem_parts[0] == ""
             and stem_parts[1].isdigit()):
         file_id = int(stem_parts[1])

@@ -39,7 +39,7 @@ def main(argv=None):
 
     # raw restore: no template, so the analysis never depends on how the
     # training run was configured (crit_params / loss_scaler / optimizer tree)
-    ckpt = CheckpointManager(run_dir(cfg), cfg)
+    ckpt = CheckpointManager(run_dir(cfg), cfg, read_only=True)
     state, _ = ckpt.restore_raw(best=args.load_best)
     if state is not None:
         params = state["params"]

@@ -54,7 +54,7 @@ def main(argv=None):
     # load the trained run for this config, like tools/test.py (reference
     # test.py:77-99); a raw restore so the demo doesn't need to rebuild the
     # training run's criterion/optimizer/scaler tree
-    saved, _ = CheckpointManager(run_dir(cfg), cfg).restore_raw(
+    saved, _ = CheckpointManager(run_dir(cfg), cfg, read_only=True).restore_raw(
         best=args.load_best)
     if saved is None:
         print("no checkpoint found; running random init", flush=True)

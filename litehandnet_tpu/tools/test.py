@@ -148,9 +148,14 @@ def main(argv=None):
 
         out_dir = args.vis_dir or run_dir(cfg)
         os.makedirs(out_dir, exist_ok=True)
-        # file name tracks which slot was evaluated (reference test.py:53-61)
+        # file name tracks which slot was evaluated (reference test.py:53-61);
+        # --train runs get a distinct prefix so a train-split evaluation
+        # never overwrites recorded test-split metrics (the reference
+        # overwrites the same file for both)
         metric_file = ("best_pth_metric.json" if args.load_best
                        else "checkpoint_pth_metric.json")
+        if args.train:
+            metric_file = "train_" + metric_file
         with open(os.path.join(out_dir, metric_file), "w") as f:
             json.dump({k: float(v) for k, v in name_value.items()}, f, indent=2)
 

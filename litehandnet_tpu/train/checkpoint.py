@@ -34,9 +34,14 @@ def run_dir(cfg) -> str:
 class CheckpointManager:
     """Thin orbax wrapper with `latest` + `best` slots."""
 
-    def __init__(self, directory: str, cfg: Optional[Any] = None):
+    def __init__(self, directory: str, cfg: Optional[Any] = None,
+                 read_only: bool = False):
+        """``read_only=True`` is for consumers that only restore (demo,
+        weight analysis): no directory creation, and the run's recorded
+        config.json is never overwritten — it stays the training run's."""
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        if not read_only:
+            os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.cfg = cfg
         if cfg is not None:
@@ -57,7 +62,7 @@ class CheckpointManager:
                         f"ID={saved_id}, not ID={cfg.get('ID')} — refusing "
                         "to mix experiments in one run dir"
                     )
-            if jax.process_index() == 0:
+            if not read_only and jax.process_index() == 0:
                 with open(cfg_path, "w") as f:
                     json.dump(cfg.to_dict(), f, indent=2, default=str)
 

@@ -100,20 +100,22 @@ class Trainer:
     def maybe_resume(self, state: TrainState) -> TrainState:
         if not self.cfg.CHECKPOINT.get("resume", False):
             return state
-        restored, meta = self.ckpt.restore(
-            state, best=self.cfg.CHECKPOINT.get("load_best", False)
-        )
-        if restored is None:
-            return state
+        best = self.cfg.CHECKPOINT.get("load_best", False)
         if not self.cfg.OPTIMIZER.get("resume", True):
             # weights-only resume (dist_train.py:101-111 gates the
             # optimizer-state/epoch reload on OPTIMIZER.resume): reload
             # params/BN stats/criterion params, keep a fresh optimizer,
-            # epoch 0, and a reset best-loss floor. The reference also
-            # SKIPS its warmup pre-pass whenever a checkpoint exists
+            # epoch 0, and a reset best-loss floor. Restored RAW (no typed
+            # template) so the reload works even when the optimizer/loss
+            # configuration changed since the checkpoint — the very use
+            # case of a weights-only restart. The reference also SKIPS its
+            # warmup pre-pass whenever a checkpoint exists
             # (dist_train.py:145-147), so rebuild the schedule without
             # warmup — training restarts at full LR with epoch-0 decay
             # boundaries, not a replayed ramp.
+            raw, _ = self.ckpt.restore_raw(best=best)
+            if raw is None:
+                return state
             if int(self.cfg.OPTIMIZER.get("warmup_steps", 0) or 0) > 0:
                 from litehandnet_tpu.config import config_from_dict
 
@@ -127,12 +129,15 @@ class Trainer:
                     self.model, self.criterion, self.tx, self.mesh
                 )
             fresh = TrainState.create(
-                {"params": restored.params,
-                 "batch_stats": restored.batch_stats},
-                {"params": restored.crit_params},
+                {"params": raw["params"],
+                 "batch_stats": raw.get("batch_stats") or {}},
+                {"params": raw.get("crit_params") or {}},
                 self.tx, loss_scaler=state.loss_scaler,
             )
             return self._replicate(fresh)
+        restored, meta = self.ckpt.restore(state, best=best)
+        if restored is None:
+            return state
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         # the reference resets the floor to 1e6 on every resume — it saves
         # the key as 'min_val_sum' but reads 'min_val_loss'

@@ -74,5 +74,11 @@ def test_eval_cli_decodes_simdr(tiny_simdr_setup):
     assert "simdr_AUC" in name_value, sorted(name_value)
     assert np.isfinite(float(name_value["simdr_AUC"]))
     # metric file name tracks the evaluated slot (reference test.py:53-61)
-    assert os.path.exists(os.path.join(
-        run_dir(get_config(tiny_simdr_setup)), "checkpoint_pth_metric.json"))
+    rd = run_dir(get_config(tiny_simdr_setup))
+    assert os.path.exists(os.path.join(rd, "checkpoint_pth_metric.json"))
+
+    # --train evaluates the train split into a SEPARATE file so it can never
+    # masquerade as test-split metrics
+    main(["--cfg", tiny_simdr_setup, "--batch-size", "4", "--allow-init",
+          "--train"])
+    assert os.path.exists(os.path.join(rd, "train_checkpoint_pth_metric.json"))

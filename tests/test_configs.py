@@ -92,3 +92,8 @@ def test_filename_id_cross_check(tmp_path):
     ok = tmp_path / "freely_named_cfg.py"  # no leading-underscore id
     ok.write_text("def _get_cfg():\n    return {'ID': 9}\n")
     assert get_config(str(ok)).ID == 9
+
+    # the check also applies to the dotted package-name form: the stem is
+    # the last dotted segment, not everything before the first "."
+    cfg = get_config("litehandnet._2_freihand_224x244_dark_h4_ca_none")
+    assert cfg.ID == 2

@@ -91,3 +91,40 @@ def test_demo_runs_fused_checkpoint(tool_setup, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "no checkpoint found" not in out
     assert (out_dir / "frame.jpg").exists()
+
+
+def test_read_only_tools_do_not_touch_run_dirs(tool_setup, tmp_path, capsys):
+    """The demo / weight-analysis CLIs restore read-only: no run directory
+    is created and the training run's recorded config.json is preserved."""
+    import json
+    import os
+
+    from litehandnet_tpu.config import get_config
+    from litehandnet_tpu.tools.analyze_weights import main
+    from litehandnet_tpu.train.checkpoint import run_dir
+
+    cfg_file, _, _ = tool_setup
+    # 1) the trained run's config.json survives an analyze pass verbatim
+    rd = run_dir(get_config(cfg_file))
+    before = open(os.path.join(rd, "config.json")).read()
+    main(["--cfg", cfg_file, "--top", "1"])
+    assert open(os.path.join(rd, "config.json")).read() == before
+
+    # 2) with an untrained save_root, nothing is created on disk
+    empty_root = tmp_path / "never_trained"
+    cfg2 = tmp_path / "exp_cfg2.py"
+    cfg2.write_text(f"""
+from litehandnet_tpu.config.templates import make_cfg
+
+
+def _get_cfg():
+    cfg = make_cfg(
+        "litehandnet", "freihand", exp_id=998, image_size=64,
+        **{{"MODEL.input_channel": 32, "MODEL.num_stage": 3,
+           "MODEL.num_block": [1, 1]}})
+    cfg["CHECKPOINT"]["save_root"] = {str(empty_root) + "/"!r}
+    return cfg
+""")
+    main(["--cfg", str(cfg2), "--top", "1"])
+    assert "no checkpoint; analyzing init" in capsys.readouterr().out
+    assert not empty_root.exists()

@@ -120,8 +120,11 @@ def test_weights_only_resume(trained):
     from litehandnet_tpu.train.trainer import Trainer
 
     root, _, state, _, _, _, _ = trained
+    # the optimizer TYPE also changes (Adam -> SGD): a weights-only restart
+    # must not depend on the checkpoint's optimizer tree (raw restore)
     cfg = _tiny_cfg(root, **{"CHECKPOINT.resume": True,
                              "OPTIMIZER.resume": False,
+                             "OPTIMIZER.type": "SGD",
                              "OPTIMIZER.warmup_steps": 50})
     trainer = Trainer(cfg, steps_per_epoch=1, num_devices=1)
     base_lr = float(cfg.OPTIMIZER.lr)
