@@ -167,6 +167,9 @@ mpii_action_info = dict(mpii_info, dataset_name="mpii_action")
 DATASET_INFOS: Dict[str, dict] = {
     "freihand": freihand2d_info,
     "rhd2d": rhd2d_info,
+    # reference configs name this dataset 'rhd' (config/*/rhd2d/_*.py) while
+    # the metadata dict is 'rhd2d' (dataset_configs); accept both
+    "rhd": rhd2d_info,
     "onehand10k": onehand10k_info,
     "panoptic_hand2d": panoptic_hand2d_info,
     "coco_wholebody_hand": coco_wholebody_hand_info,

@@ -140,12 +140,20 @@ class DevicePipeline:
                  with_region: bool = None):
         p = cfg.PIPELINE
         d = cfg.DATASET
+        m = cfg.get("MODEL", {})
         if with_region is None:
-            m = cfg.get("MODEL", {})
             with_region = bool(
                 m.get("pred_bbox", False) or m.get("with_region_map", False)
             )
         self.with_region = with_region
+        # patch extent: the Gen-1 center+SimDR workflow (with_region_map,
+        # data/handset/dataset_function.py:199-207) paints +-3*sigma; the
+        # Gen-2 SRHandNet workflow (pred_bbox) paints 5x5
+        self.region_patch = (
+            "gen1"
+            if m.get("with_region_map", False) and not m.get("pred_bbox", False)
+            else "srhandnet"
+        )
         self.image_size = tuple(int(v) for v in d.image_size)
         hm = d.heatmap_size
         # multi-scale targets (SRHandNet): heatmap_size is a list of pairs
@@ -322,7 +330,8 @@ class DevicePipeline:
                         jnp.concatenate([
                             t,
                             region_map(bbox_c, self.image_size, hm_size,
-                                       sig0, encoding=self.encoding),
+                                       sig0, encoding=self.encoding,
+                                       patch=self.region_patch),
                         ], axis=-1)
                         for t, hm_size in zip(target, self.heatmap_sizes)
                     ]
@@ -333,7 +342,7 @@ class DevicePipeline:
                 else:
                     rmap = region_map(
                         bbox_c, self.image_size, self.heatmap_size, sig0,
-                        encoding=self.encoding,
+                        encoding=self.encoding, patch=self.region_patch,
                     )
                     if target.ndim == 4:  # stacked-sigma [S, H, W, K]
                         rmap = jnp.broadcast_to(

@@ -83,7 +83,7 @@ def heatmap_pck(pred_heatmaps, gt_heatmaps, bbox, image_size=256,
     return float(np.mean(pcks))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "heatmap_sigma"))
 def cs_from_region_map(region_maps, image_size=256.0, k=20, thr=0.8,
                        heatmap_sigma=2):
     """Top-k candidate bboxes from raw region maps

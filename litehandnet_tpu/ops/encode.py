@@ -195,11 +195,22 @@ def region_map(
     heatmap_size,
     sigma: float = 2.0,
     encoding: str = "MSRA",
+    patch: str = "srhandnet",
 ):
     """SRHandNet 3-channel region map (reference: generateTarget.py:321-366).
 
-    Channel 0: Gaussian at the bbox center. Channels 1/2: a 5x5 patch at the
+    Channel 0: Gaussian at the bbox center. Channels 1/2: a patch at the
     center filled with the width/height ratios w/img_w, h/img_h.
+
+    ``patch`` selects the patch extent: ``"srhandnet"`` paints the Gen-2
+    5x5 square (generateTarget.py:358); ``"gen1"`` paints the Gen-1
+    +-3*sigma window (data/handset/dataset_function.py:199-207) used by
+    the center+SimDR workflow, whose evaluation (`eval.legacy_eval`)
+    decodes the wh channels as a +-3*sigma window MEAN — the extents must
+    match or the decoded size is diluted by the patch/window area ratio.
+    Either way the stored VALUE is the ratio w/img (this repo's uniform
+    convention; the reference Gen-1 stores w*hm/img — see
+    tools/train_center_simdr.py for the exact scale bridge).
 
     Args:
         bbox: [4] (x, y, w, h) in input-image pixels.
@@ -226,7 +237,8 @@ def region_map(
     gamma = jnp.clip(wh / jnp.asarray(image_size, jnp.float32), 0.0, 1.0)
     feat_stride = jnp.array([W / image_size[0], H / image_size[1]], jnp.float32)
     cxy = center * feat_stride
-    tmp = 2.0  # 5x5 patch, as in SRHandNet
+    # 5x5 patch as in SRHandNet, or the Gen-1 +-3*sigma window
+    tmp = 2.0 if patch == "srhandnet" else 3.0 * float(sigma)
     ul = jnp.trunc(cxy - tmp)
     br = jnp.trunc(cxy + tmp + 1.0)
 

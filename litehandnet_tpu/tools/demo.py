@@ -74,7 +74,11 @@ def main(argv=None):
         "with_region_map", False
     )
     decoder = TopDownDecoder(cfg)
-    parser_ = ResultParser(cfg) if with_region else None
+    # pcfg.max_num_bbox mirrors the reference's single-hand default (1);
+    # the demo drives multi-hand scenes, so --max-hands raises the cap here
+    parser_ = (
+        ResultParser(cfg, max_num_bbox=args.max_hands) if with_region else None
+    )
 
     def iter_frames():
         """Yield (tag, RGB frame) from image files or a video (when cv2 is

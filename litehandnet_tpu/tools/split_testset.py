@@ -32,20 +32,29 @@ _DEFAULT_NAMES = {
 
 
 def build_splits(ann: dict, image_area: float, centers_init):
-    """Returns (bin_annotation_lists, thresholds, centers)."""
+    """Returns (bin_annotation_lists, thresholds, centers).
+
+    Clusters that end up empty (the reference's phantom-sample quirk decays
+    them toward 0, leaving the center list unsorted) are dropped before
+    thresholding, and the surviving centers are sorted — so the midpoint
+    thresholds are monotonic and the bin walk below is well-defined. The
+    returned bins/centers may therefore be fewer than ``centers_init``."""
     annotations = ann.get("annotations", [])
     sizes = [
         a["bbox"][2] * a["bbox"][3] / image_area for a in annotations
     ]
-    centers, _ = kmeans_ref(sizes, centers_init)
-    thresholds, _ = size_thresholds(sizes, centers)
-    bins = [[] for _ in range(len(centers_init))]
+    centers, counts = kmeans_ref(sizes, centers_init)
+    kept = np.sort(centers[np.asarray(counts) > 1.0])
+    if kept.size == 0:  # no annotations at all
+        kept = np.sort(np.asarray(centers_init, np.float64))[:1]
+    thresholds, _ = size_thresholds(sizes, kept)
+    bins = [[] for _ in range(len(kept))]
     for a, s in zip(annotations, sizes):
         b = 0
         while b < len(thresholds) and s >= thresholds[b]:
             b += 1
         bins[b].append(a)
-    return bins, thresholds, centers
+    return bins, thresholds, kept
 
 
 def main(argv=None):
@@ -77,6 +86,12 @@ def main(argv=None):
         ann = json.load(f)
     area = args.image_size[0] * args.image_size[1]
     bins, thresholds, centers = build_splits(ann, area, args.clusters)
+    if len(bins) < len(args.clusters):
+        print(
+            f"warning: {len(args.clusters) - len(bins)} cluster(s) ended "
+            f"up empty and were dropped; writing {len(bins)} bin(s)"
+        )
+        names = names[: len(bins)]
     print(f"centers={np.round(centers, 4).tolist()}")
     print(f"thresholds={[round(t, 4) for t in thresholds]}")
 

@@ -85,7 +85,9 @@ def main(argv=None):
 
             scaler = DynamicLossScaler.create()
         template = TrainState.create(mv, cv, tx, loss_scaler=scaler)
-        ckpt = CheckpointManager(run_dir(cfg), cfg)
+        # read_only: evaluation must not rewrite the training run's recorded
+        # config.json (especially under --train, where cfg is mutated above)
+        ckpt = CheckpointManager(run_dir(cfg), cfg, read_only=True)
         state, meta = ckpt.restore(template, best=args.load_best)
         if state is None:
             if not args.allow_init:

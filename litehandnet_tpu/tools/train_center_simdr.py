@@ -224,13 +224,29 @@ def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50,
         out = model.apply(variables, jnp.asarray(raw["img"]), train=False)
         hm_list = out[0] if isinstance(out, tuple) else out
         hm = np.asarray(hm_list[-1])
+        # crop-space GT bbox as cxcywh, [B, 1, 4] — shared by the AP eval,
+        # heatmap PCK, and the multi-hand coordinate PCK below.
+        # raw["bbox"] is source-image coords, the wrong frame for crop space.
+        bb = np.asarray(raw["bbox_crop"])         # [B, 4] xywh crop coords
+        gt_boxes = np.stack(
+            [bb[:, 0] + bb[:, 2] / 2, bb[:, 1] + bb[:, 3] / 2,
+             bb[:, 2], bb[:, 3]], axis=-1,
+        )[:, None]                                # [B, 1, 4] cxcywh
         if full_metrics:
-            bb_ = np.asarray(raw["bbox_crop"])
-            gt_b = [
-                [[b[0] + b[2] / 2, b[1] + b[3] / 2, b[2], b[3]]]
-                for b in bb_
-            ]
-            ap50, ap, _ = evaluate_ap(hm[..., -3:], gt_b, image_size)
+            # Scale bridge: this trainer supervises wh as ratios w/img
+            # (this repo's uniform convention; the device pipeline paints
+            # them over the Gen-1 +-3*sigma patch, see ops/encode.region_map
+            # patch="gen1"), but evaluate_ap decodes the Gen-1 SCALE
+            # (gamma = w*hm/img, data/handset/dataset_function.py:193,
+            # scaled back by the feature stride in _get_wh). ratio * hm ==
+            # Gen-1 gamma exactly, so scale the wh channels before handing
+            # them to the Gen-1 decoder — without this every candidate is
+            # ~0 px wide and AP is structurally zero.
+            region = hm[..., -3:].copy()
+            region[..., 1:] *= np.array(hm.shape[1:3][::-1], np.float32)
+            ap50, ap, _ = evaluate_ap(
+                region, gt_boxes.tolist(), image_size
+            )
             ap50s.append(ap50)
             aps.append(ap)
             tgt = np.asarray(raw["target"])
@@ -238,12 +254,8 @@ def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50,
                 tgt = tgt[:, -1]
             n_kpt = hm.shape[-1] - 3
             tw = np.asarray(raw["target_weight"])[:, :n_kpt, None]
-            bbox_cs = np.stack(
-                [bb_[:, 0] + bb_[:, 2] / 2, bb_[:, 1] + bb_[:, 3] / 2,
-                 bb_[:, 2], bb_[:, 3]], axis=-1,
-            )[:, None]
             hm_pcks.append(heatmap_pck(
-                hm[..., :n_kpt], tgt[..., :n_kpt], bbox_cs,
+                hm[..., :n_kpt], tgt[..., :n_kpt], gt_boxes,
                 image_size=image_size, target_weight=tw,
             ))
         boxes = parser_.get_pred_bbox(hm[..., -3:])
@@ -255,13 +267,6 @@ def evaluate_multihand_pck(model, state, loader, parser_, max_batches=50,
         gt_kpts = np.concatenate(
             [gt_j, gt_vis[..., None]], axis=-1
         )[:, None]                                # [B, 1, K, 3] single hand
-        # CROP-space bbox (the pipeline's); raw["bbox"] is source-image
-        # coords, the wrong frame for crop-space keypoints
-        bb = np.asarray(raw["bbox_crop"])         # [B, 4] xywh crop coords
-        gt_boxes = np.stack(
-            [bb[:, 0] + bb[:, 2] / 2, bb[:, 1] + bb[:, 3] / 2,
-             bb[:, 2], bb[:, 3]], axis=-1,
-        )[:, None]                                # [B, 1, 4] cxcywh
         pcks.append(parser_.evaluate_pck(kpts, gt_kpts, gt_boxes))
     coor_pck = float(np.mean(pcks)) if pcks else 0.0
     if full_metrics:

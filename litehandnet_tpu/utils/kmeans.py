@@ -40,19 +40,25 @@ def split_by_size(db, k: int = 2):
     return [np.where(labels == j)[0].tolist() for j in range(k)]
 
 
-def kmeans_ref(relative_sizes, centers=(0.2, 0.4, 0.6, 0.8)):
+def kmeans_ref(relative_sizes, centers=(0.2, 0.4, 0.6, 0.8),
+               max_iters: int = 10_000):
     """The reference's exact 1-D k-means over relative bbox areas
     (utils/k_means.py:7-28), quirks kept: per-cluster counts initialize
     to ONE (sum to zero), so empty clusters decay toward 0 and every
     mean is biased by one phantom zero sample; convergence tests the SUM
     of centers for exact equality.
 
+    ``max_iters`` is a termination backstop absent upstream: the exact
+    sum-equality test can oscillate forever between assignments with
+    equal center sums; real-data runs converge in a handful of steps.
+
     Returns (centers [k], counts [k]).
     """
     sizes = np.asarray(relative_sizes, np.float64).reshape(-1)
     centers = np.asarray(centers, np.float64).copy()
     k = len(centers)
-    while True:
+    count = np.ones(k)
+    for _ in range(max_iters):
         sum_sizes = np.zeros(k)
         count = np.ones(k)
         idx = np.abs(centers[None, :] - sizes[:, None]).argmin(axis=1)
@@ -62,6 +68,7 @@ def kmeans_ref(relative_sizes, centers=(0.2, 0.4, 0.6, 0.8)):
         if centers_new.sum() - centers.sum() == 0:
             return centers_new, count
         centers = centers_new
+    return centers, count
 
 
 def size_thresholds(relative_sizes, cluster_centers):
@@ -69,11 +76,13 @@ def size_thresholds(relative_sizes, cluster_centers):
     counts (reference utils/k_means.py:31-46). Returns
     (thresholds [k-1], counts [k])."""
     centers = np.asarray(cluster_centers, np.float64)
+    rs = np.asarray(relative_sizes, np.float64).reshape(-1)
+    if len(centers) < 2:  # one cluster: no thresholds, one bin
+        return [], [int(rs.size)]
     thresholds = [
         float((centers[i + 1] + centers[i]) / 2)
         for i in range(len(centers) - 1)
     ]
-    rs = np.asarray(relative_sizes, np.float64).reshape(-1)
     counts = [int((rs < thresholds[0]).sum())]
     for i in range(1, len(thresholds)):
         counts.append(int(((rs >= thresholds[i - 1])

@@ -170,3 +170,49 @@ def test_split_testset_cli(tmp_path):
             assert min(areas) >= prev_max  # bins ordered small -> large
             prev_max = max(areas)
     assert sorted(seen) == list(range(120))
+
+
+def test_split_testset_degenerate_clusters(tmp_path):
+    """Empty clusters (the reference quirk decays their centers to ~0,
+    unsorting the list) are dropped with a warning instead of silently
+    mis-binning; a single initial center yields one bin without crashing."""
+    import json
+
+    from litehandnet_tpu.tools.split_testset import main
+
+    rng = np.random.RandomState(7)
+    images, annotations = [], []
+    for i in range(40):
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=224, height=224))
+        side = float(rng.uniform(30, 60))  # all tiny: rel area < 0.08
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1, iscrowd=0,
+            bbox=[5.0, 5.0, side, side], area=side * side, keypoints=[],
+        ))
+    ann_path = tmp_path / "test.json"
+    ann_path.write_text(json.dumps(dict(
+        images=images, annotations=annotations,
+        categories=[dict(id=1, name="hand")],
+    )))
+
+    paths = main(["--ann", str(ann_path), "--image-size", "224", "224",
+                  "--out-dir", str(tmp_path / "deg")])
+    total = sum(
+        len(json.loads(open(p).read())["annotations"]) for p in paths
+    )
+    assert total == 40  # nothing lost to a phantom 0-center bin
+    assert 1 <= len(paths) < 4  # the empty clusters were dropped
+
+    paths1 = main(["--ann", str(ann_path), "--image-size", "224", "224",
+                   "--out-dir", str(tmp_path / "one"), "--clusters", "0.5",
+                   "--names", "all"])
+    assert len(paths1) == 1
+    assert len(json.loads(open(paths1[0]).read())["annotations"]) == 40
+
+
+def test_dataset_info_rhd_alias():
+    """Reference configs name the dataset 'rhd' (config/*/rhd2d/_*.py:14)
+    while the metadata dict is 'rhd2d'; both keys must resolve."""
+    from litehandnet_tpu.data.dataset_info import DATASET_INFOS
+
+    assert DATASET_INFOS["rhd"] is DATASET_INFOS["rhd2d"]

@@ -207,3 +207,83 @@ def test_count_ap_parity(rng):
     )
     np.testing.assert_allclose(got_ap50, ref_ap50, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(got_ap, ref_ap, rtol=1e-6, atol=1e-9)
+
+
+def test_evaluate_ap_gt_roundtrip_with_gen1_targets():
+    """Regression: the Gen-1 trainer supervises region maps as ratios over
+    the Gen-1 +-3*sigma patch (ops/encode.region_map patch="gen1"), while
+    evaluate_ap decodes the Gen-1 scale (gamma = w*hm/img, window MEAN,
+    scaled by the feature stride). GT-encoded maps through the scale
+    bridge used by evaluate_multihand_pck (wh channels * heatmap_size)
+    must score a perfect AP50 — previously the 5x5 ratio patches decoded
+    to ~0.2 px boxes (wrong scale) diluted 25/169 (wrong extent) and AP
+    was structurally 0."""
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.ops.encode import region_map
+
+    size, hm = 64, 32
+    bboxes = np.array([[8.0, 8.0, 48.0, 48.0], [20.0, 12.0, 24.0, 40.0]],
+                      np.float32)
+    maps = np.stack([
+        np.asarray(region_map(jnp.asarray(b), (size, size), (hm, hm), 2.0,
+                              patch="gen1"))
+        for b in bboxes
+    ])                                           # [B, hm, hm, 3] ratio wh
+    bridged = maps.copy()
+    bridged[..., 1:] *= np.array([hm, hm], np.float32)
+    gt = [
+        [[b[0] + b[2] / 2, b[1] + b[3] / 2, b[2], b[3]]] for b in bboxes
+    ]
+    ap50, ap, preds = evaluate_ap(bridged, gt, image_size=size)
+    assert ap50 == 1.0, (ap50, preds)
+    # decoded wh is a clipped-window mean: near-exact for interior boxes
+    for b, p in zip(bboxes, preds):
+        assert p, p
+        np.testing.assert_allclose(p[0][2:4], b[2:4], rtol=0.25)
+    # the unbridged ratio-scale maps must NOT silently work
+    ap50_raw, _, _ = evaluate_ap(maps, gt, image_size=size)
+    assert ap50_raw == 0.0
+
+
+def test_region_map_gen1_patch_parity():
+    """region_map(patch="gen1") wh channels match the reference Gen-1
+    encoder get_hw_region_map (data/handset/dataset_function.py:181-209)
+    exactly, up to the documented value-scale convention (ours stores
+    w/img ratios; the reference stores w*hm/img)."""
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.ops.encode import region_map
+
+    ref_loader.ensure_reference_importable()
+    df = ref_loader._load("data/handset/dataset_function.py", "_ref_df")
+
+    size, hm, sigma = 64, 32, 2.0
+    rng_ = np.random.RandomState(3)
+    for _ in range(8):
+        bbox = np.array([
+            rng_.uniform(-4, 40), rng_.uniform(-4, 40),
+            rng_.uniform(4, 40), rng_.uniform(4, 40),
+        ], np.float32)
+        got = np.asarray(region_map(
+            jnp.asarray(bbox), (size, size), (hm, hm), sigma, patch="gen1"
+        ))
+        c = bbox[:2] + bbox[2:] / 2.0
+        want = df.get_hw_region_map(c, bbox[2:], size, hm, sigma)
+        np.testing.assert_allclose(
+            got[..., 1] * hm, want[0], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            got[..., 2] * hm, want[1], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_cs_from_region_map_nondefault_sigma():
+    """heatmap_sigma is static in the jit: non-default values must compile
+    (regression: int(traced sigma) raised TracerIntegerConversionError)."""
+    import jax.numpy as jnp
+
+    maps = jnp.zeros((1, 16, 16, 3)).at[0, 8, 8, 0].set(1.0)
+    out = np.asarray(cs_from_region_map(maps, 64.0, 5, 0.5, heatmap_sigma=3))
+    assert out.shape == (1, 5, 5)
+    assert out[0, 0, 4] == 1.0
