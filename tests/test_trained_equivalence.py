@@ -26,15 +26,16 @@ a 32-image held-out split is also compared, loosely — at 8 training
 images generalization saturates low (~0.3) and is chaos-sensitive across
 frameworks, so only gross divergence is asserted there.
 
-Scope: litehandnet + mynet + hourglass + srhandnet + mynet-simdr — one
-case per structurally distinct training computation (single heatmap
-criterion, stacked intermediate supervision, 4-scale region loss, SimDR
-supervision with criterion-owned trainable decoders), width/depth
-reduced identically on both sides where the family allows it, keeping
-each twin run under ~7 min CPU. Remaining family breadth is covered by
-the 10-family battery in test_train_dynamics_parity.py; resnet18 was
-measured to memorize this task 4x slower, making its twin run
-CI-prohibitive.
+Scope: litehandnet + mynet + hourglass + srhandnet + mynet-simdr +
+litehrnet — one case per structurally distinct training computation
+(single heatmap criterion, stacked intermediate supervision, 4-scale
+region loss, SimDR supervision with criterion-owned trainable decoders)
+plus the most structurally distinct backbone (litehrnet's multi-branch
+cross-resolution weighting), width/depth reduced identically on both
+sides where the family allows it, keeping each twin run under ~10 min
+CPU. Remaining family breadth is covered by the 10-family battery in
+test_train_dynamics_parity.py; resnet18 was measured to memorize this
+task 4x slower, making its twin run CI-prohibitive.
 """
 
 import itertools
@@ -103,6 +104,14 @@ CASES = [
     pytest.param(
         "config/mynet/_4_freihand2d_224x224_dark_simdr.py",
         "mynet", 350, HG_OVERRIDES, "simdr", marks=pytest.mark.slow,
+    ),
+    # Lite-HRNet: multi-branch cross-resolution weighting + IterativeHead
+    # (the most structurally distinct backbone); the reference hard-codes
+    # its widths (lite_hrnet.py:294-307), so the twin runs full-width at
+    # the reduced 64^2 input (~1 s/step torch CPU)
+    pytest.param(
+        "config/litehrnet/_2_freihand_224x244_dark_18.py",
+        "litehrnet", 250, {}, "heatmap", marks=pytest.mark.slow,
     ),
 ]
 
