@@ -128,3 +128,34 @@ def _get_cfg():
     main(["--cfg", str(cfg2), "--top", "1"])
     assert "no checkpoint; analyzing init" in capsys.readouterr().out
     assert not empty_root.exists()
+
+
+def test_twin_accuracy_report(tmp_path):
+    """The twin-accuracy report merges the two side jsons, cross-checks
+    the init checksum, and writes the markdown table."""
+    import json
+
+    from litehandnet_tpu.tools.twin_accuracy import main
+
+    metrics = dict(pck20=0.99, pck05=0.9, auc=0.95, epe=1.2)
+    for side, epe in (("torch", 1.2), ("flax", 1.3)):
+        m = dict(metrics, epe=epe)
+        (tmp_path / f"{side}.json").write_text(json.dumps(dict(
+            side=side, init_checksum=["stem.weight", "abc123"],
+            loss_first=2.2, loss_tail=0.01, train=m, eval=m, wall_s=1.0,
+        )))
+    out = tmp_path / "report.md"
+    main(["--side", "report", "--workdir", str(tmp_path),
+          "--report-out", str(out)])
+    text = out.read_text()
+    assert "abc123" in text and "flax/TPU" in text and "0.9900" in text
+
+    # checksum mismatch must refuse to report
+    bad = json.loads((tmp_path / "flax.json").read_text())
+    bad["init_checksum"] = ["stem.weight", "zzz"]
+    (tmp_path / "flax.json").write_text(json.dumps(bad))
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        main(["--side", "report", "--workdir", str(tmp_path),
+              "--report-out", str(out)])
