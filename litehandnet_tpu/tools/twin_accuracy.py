@@ -186,11 +186,15 @@ def run_torch_side(args, data):
     )
     losses = []
     t0 = time.time()
+    # ascontiguousarray: conv backward on strided transpose views hits a
+    # libtorch_cpu general-protection fault on some builds (observed on
+    # this rig); contiguous NCHW input avoids the broken kernel path
     for si, idx in enumerate(batches):
-        x = torch.from_numpy(train_imgs[idx].transpose(0, 3, 1, 2))
+        x = torch.from_numpy(
+            np.ascontiguousarray(train_imgs[idx].transpose(0, 3, 1, 2)))
         meta = {
-            "target": torch.from_numpy(
-                train_tgts[idx].transpose(0, 3, 1, 2)),
+            "target": torch.from_numpy(np.ascontiguousarray(
+                train_tgts[idx].transpose(0, 3, 1, 2))),
             "target_weight": torch.from_numpy(weights),
         }
         loss, _ = criterion(tm(x), meta)
@@ -207,8 +211,8 @@ def run_torch_side(args, data):
         def fwd(imgs):
             outs = []
             for j in range(0, len(imgs), args.batch):
-                o = tm(torch.from_numpy(
-                    imgs[j:j + args.batch].transpose(0, 3, 1, 2)))
+                o = tm(torch.from_numpy(np.ascontiguousarray(
+                    imgs[j:j + args.batch].transpose(0, 3, 1, 2))))
                 outs.append(np.asarray(o).transpose(0, 2, 3, 1))
             return np.concatenate(outs)
 
