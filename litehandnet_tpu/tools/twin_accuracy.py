@@ -74,6 +74,48 @@ def make_split(seed: int, n: int, size: int, marker_sigma: float = 2.5):
     return imgs * 2.0 - 1.0, joints
 
 
+def srhandnet_targets(joints, size: int, out_hw):
+    """Per-scale SRHandNet targets: 21 kpt gaussians + the region-map
+    triple (center gaussian, 5x5 w/h-ratio patches around the center
+    cell) — the layout SRHandNetGenerateTarget paints
+    (generateTarget.py:321-366). Center/size derive from the joint cloud,
+    so both region channels are learnable from the image. Mirrors
+    tests/test_trained_equivalence._srhandnet_targets at full scale,
+    batched through the golden-tested encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from litehandnet_tpu.ops.encode import msra_heatmaps
+
+    n = joints.shape[0]
+    centers = joints.mean(axis=1, keepdims=True)           # [N, 1, 2] px
+    wh = ((joints.max(1) - joints.min(1)) / size).astype(np.float32)
+    outs = []
+    for h, w in out_hw:
+        def make_enc(k, h=h, w=w):
+            def one(j):
+                t, _ = msra_heatmaps(j, jnp.ones((k,)), (size, size),
+                                     (h, w), 2.0, unbiased=True)
+                return t
+
+            return jax.jit(jax.vmap(one))
+
+        enc_k, enc_c = make_enc(K), make_enc(1)
+        kpt, cen = [], []
+        for j in range(0, n, 256):
+            kpt.append(np.asarray(enc_k(jnp.asarray(joints[j:j + 256]))))
+            cen.append(np.asarray(enc_c(jnp.asarray(centers[j:j + 256]))))
+        kpt, cen = np.concatenate(kpt), np.concatenate(cen)
+        whmap = np.zeros((n, h, w, 2), np.float32)
+        cx = np.clip((centers[:, 0, 0] * w / size).astype(int), 0, w - 1)
+        cy = np.clip((centers[:, 0, 1] * h / size).astype(int), 0, h - 1)
+        for i in range(n):
+            whmap[i, max(cy[i] - 2, 0):cy[i] + 3,
+                  max(cx[i] - 2, 0):cx[i] + 3] = wh[i]
+        outs.append(np.concatenate([kpt, cen, whmap], -1).astype(np.float32))
+    return outs
+
+
 def heatmap_targets(joints, size: int, hm: int, sigma: float = 2.0):
     """Unbiased-encoding Gaussian heatmaps via the golden-tested encoder
     (ops/encode.msra_heatmaps, the reference's unbiased_encoding path,
@@ -178,8 +220,16 @@ def run_torch_side(args, data):
     ref_loader.ensure_reference_importable()
     criterion = importlib.import_module("loss").get_loss(refcfg)
     criterion.train()
-    train_tgts = heatmap_targets(train_joints, args.size, hm)
-    weights = np.ones((args.batch, K, 1), np.float32)
+    if args.mode == "srhandnet":
+        # probe the 4-output pyramid's per-scale shapes (test.py:117 path)
+        with torch.no_grad():
+            probe = tm(torch.zeros(1, 3, args.size, args.size))
+        out_hw = [tuple(o.shape[2:]) for o in probe]
+        train_tgts_ms = srhandnet_targets(train_joints, args.size, out_hw)
+        weights = np.ones((args.batch, K + 3, 1), np.float32)
+    else:
+        train_tgts = heatmap_targets(train_joints, args.size, hm)
+        weights = np.ones((args.batch, K, 1), np.float32)
     tm.train()
     opt = torch.optim.Adam(
         list(tm.parameters()) + list(criterion.parameters()), lr=args.lr
@@ -192,11 +242,21 @@ def run_torch_side(args, data):
     for si, idx in enumerate(batches):
         x = torch.from_numpy(
             np.ascontiguousarray(train_imgs[idx].transpose(0, 3, 1, 2)))
-        meta = {
-            "target": torch.from_numpy(np.ascontiguousarray(
-                train_tgts[idx].transpose(0, 3, 1, 2))),
-            "target_weight": torch.from_numpy(weights),
-        }
+        if args.mode == "srhandnet":
+            meta = {
+                "target": [
+                    torch.from_numpy(np.ascontiguousarray(
+                        t[idx].transpose(0, 3, 1, 2)))
+                    for t in train_tgts_ms
+                ],
+                "target_weight": [torch.from_numpy(weights)] * len(out_hw),
+            }
+        else:
+            meta = {
+                "target": torch.from_numpy(np.ascontiguousarray(
+                    train_tgts[idx].transpose(0, 3, 1, 2))),
+                "target_weight": torch.from_numpy(weights),
+            }
         loss, _ = criterion(tm(x), meta)
         opt.zero_grad()
         loss.backward()
@@ -213,6 +273,8 @@ def run_torch_side(args, data):
             for j in range(0, len(imgs), args.batch):
                 o = tm(torch.from_numpy(np.ascontiguousarray(
                     imgs[j:j + args.batch].transpose(0, 3, 1, 2))))
+                if args.mode == "srhandnet":  # last scale, kpt channels
+                    o = o[-1][:, :K]
                 outs.append(np.asarray(o).transpose(0, 2, 3, 1))
             return np.concatenate(outs)
 
@@ -263,6 +325,15 @@ def run_flax_side(args, data):
     )
     criterion = get_loss(cfg)
     weights = np.ones((args.batch, K), np.float32)
+    if args.mode == "srhandnet":
+        probe = jax.eval_shape(
+            lambda v: model.apply(v, jnp.zeros((1, args.size, args.size, 3)),
+                                  train=False), target_vars)
+        out_hw = [tuple(o.shape[1:3]) for o in probe]
+        train_tgts_ms = srhandnet_targets(train_joints, args.size, out_hw)
+        weights_sr = np.ones((args.batch, K + 3), np.float32)
+    else:
+        train_tgts = heatmap_targets(train_joints, args.size, hm)
     tx = optax.adam(args.lr)
     params, stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
@@ -282,12 +353,17 @@ def run_flax_side(args, data):
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
-    train_tgts = heatmap_targets(train_joints, args.size, hm)
     losses = []
     t0 = time.time()
     for si, idx in enumerate(batches):
-        batch = {"target": jnp.asarray(train_tgts[idx]),
-                 "target_weight": jnp.asarray(weights)}
+        if args.mode == "srhandnet":
+            batch = {
+                "target": [jnp.asarray(t[idx]) for t in train_tgts_ms],
+                "target_weight": [jnp.asarray(weights_sr)] * len(out_hw),
+            }
+        else:
+            batch = {"target": jnp.asarray(train_tgts[idx]),
+                     "target_weight": jnp.asarray(weights)}
         params, stats, opt_state, loss = step(
             params, stats, opt_state, jnp.asarray(train_imgs[idx]), batch,
         )
@@ -302,7 +378,10 @@ def run_flax_side(args, data):
     def run_fwd(imgs):
         outs = []
         for j in range(0, len(imgs), args.batch):
-            outs.append(np.asarray(fwd(fv, jnp.asarray(imgs[j:j + args.batch]))))
+            o = fwd(fv, jnp.asarray(imgs[j:j + args.batch]))
+            if args.mode == "srhandnet":  # last scale, kpt channels
+                o = o[-1][..., :K]
+            outs.append(np.asarray(o))
         return np.concatenate(outs)
 
     ev = decode_and_score(run_fwd(eval_imgs), eval_joints, args.size)
@@ -363,15 +442,85 @@ def write_report(args):
     return out
 
 
+def write_report_all(args):
+    """Merge every family's torch.json + flax.json under --workdir into
+    one markdown table directly comparable to the reference's
+    model_performance.png AUC table (README.md:4)."""
+    rows = []
+    for tag in sorted(os.listdir(args.workdir)):
+        d = os.path.join(args.workdir, tag)
+        tj, fj = os.path.join(d, "torch.json"), os.path.join(d, "flax.json")
+        if not (os.path.isfile(tj) and os.path.isfile(fj)):
+            continue
+        with open(tj) as f:
+            t = json.load(f)
+        with open(fj) as f:
+            fl = json.load(f)
+        assert t["init_checksum"] == fl["init_checksum"], (
+            tag, t["init_checksum"], fl["init_checksum"])
+        rows.append((tag, t, fl))
+    if not rows:
+        raise SystemExit(f"no completed family pairs under {args.workdir}")
+    a0 = rows[0][1]["args"]
+    lines = [
+        "# TWIN_AUC — full-width twin-training accuracy, all table families",
+        "",
+        "Both frameworks start from identical weights (checksum verified), "
+        "train the FULL-WIDTH model for the same long schedule on the same "
+        "synthetic marker corpus (disjoint held-out split), and are scored "
+        "through one shared DARK decoder + the reference metric formulas "
+        "(top_down_eval.py:65-196 semantics). Columns are held-out (eval) "
+        "metrics; Δ = flax − torch.",
+        "",
+        f"Protocol: {a0['size']}x{a0['size']} input, {a0['train_n']} train / "
+        f"{a0['eval_n']} held-out images, batch {a0['batch']}, Adam lr "
+        f"{a0['lr']}. Steps per family below. (256² full-length was "
+        "measured at 40 s/step torch-CPU on this 1-core rig — ~11 h per "
+        "family — so the grid runs at 128² full width; see TWIN_AUC.md "
+        "notes.)",
+        "",
+        "| family | steps | side | eval AUC | eval PCK@0.2 | eval PCK@0.05 "
+        "| eval EPE px | train AUC | tail loss |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    deltas = []
+    for tag, t, fl in rows:
+        steps = t["args"]["steps"]
+        for side, r in (("torch (ref)", t), ("flax/TPU", fl)):
+            m, mt = r["eval"], r["train"]
+            lines.append(
+                f"| {tag} | {steps} | {side} | {m['auc']:.4f} "
+                f"| {m['pck20']:.4f} | {m['pck05']:.4f} | {m['epe']:.3f} "
+                f"| {mt['auc']:.4f} | {r['loss_tail']:.6f} |"
+            )
+        d_auc = fl["eval"]["auc"] - t["eval"]["auc"]
+        d_pck = fl["eval"]["pck20"] - t["eval"]["pck20"]
+        d_epe = fl["eval"]["epe"] - t["eval"]["epe"]
+        deltas.append((tag, d_auc, d_pck, d_epe,
+                       t["loss_first"], fl["loss_first"]))
+    lines += ["", "## Deltas (flax − torch)", "",
+              "| family | ΔAUC | ΔPCK@0.2 | ΔEPE px | step-0 loss "
+              "torch | step-0 loss flax |", "|---|---|---|---|---|---|"]
+    for tag, da, dp, de, lt, lf in deltas:
+        lines.append(f"| {tag} | {da:+.4f} | {dp:+.4f} | {de:+.3f} "
+                     f"| {lt:.6f} | {lf:.6f} |")
+    with open(args.report_out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return args.report_out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--side", choices=["torch", "flax", "report"],
-                   required=True)
+    p.add_argument("--side", choices=["torch", "flax", "report",
+                                      "report-all"], required=True)
     p.add_argument("--family", default="litehandnet")
     p.add_argument(
         "--refcfg",
         default="config/litehandnet/_2_freihand_224x244_dark_h4_ca_none.py",
     )
+    p.add_argument("--mode", choices=["heatmap", "srhandnet"],
+                   default="heatmap")
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--train-n", type=int, default=2048)
     p.add_argument("--eval-n", type=int, default=256)
@@ -386,6 +535,8 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     if args.side == "report":
         return write_report(args)
+    if args.side == "report-all":
+        return write_report_all(args)
 
     if args.side == "torch":
         # keep the torch side's jax usage (target encode + shared decode)

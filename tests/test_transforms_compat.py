@@ -77,8 +77,41 @@ def test_host_pipeline_matches_device(rng, tmp_path):
     )
 
 
-def test_photometric_parity_with_reference(rng):
-    """gamma/sigmoid adjust vs the reference numpy implementations."""
+def _skimage_exposure_shim():
+    """Minimal faithful `skimage.exposure` (absent from this env) so the
+    reference's utils/data_augmentation.py imports and RUNS. Implements
+    the documented skimage algorithm: intensities are scaled by the dtype
+    range (255 for uint8 — the reference pipeline feeds cv2 uint8 images,
+    loading.py:6-89), transformed, rescaled, and cast back."""
+    import types
+
+    def _scale(image):
+        return 255.0 if image.dtype == np.uint8 else 1.0
+
+    def adjust_gamma(image, gamma=1, gain=1):
+        s = _scale(image)
+        out = ((image.astype(np.float64) / s) ** gamma) * s * gain
+        return out.astype(image.dtype)
+
+    def adjust_sigmoid(image, cutoff=0.5, gain=10, inv=False):
+        s = _scale(image)
+        out = 1.0 / (1.0 + np.exp(gain * (cutoff - image / s))) * s
+        return out.astype(image.dtype)
+
+    exposure = types.ModuleType("skimage.exposure")
+    exposure.adjust_gamma = adjust_gamma
+    exposure.adjust_sigmoid = adjust_sigmoid
+    skimage = types.ModuleType("skimage")
+    skimage.exposure = exposure
+    return skimage, exposure
+
+
+def test_photometric_parity_with_reference(rng, monkeypatch):
+    """gamma/sigmoid adjust vs the reference wrappers
+    (utils/data_augmentation.py:14-47) executed live: seed numpy, let the
+    reference draw its random p/gamma/gain, replicate the same draws to
+    recover the parameters, and require our jnp ops to produce the same
+    image through the reference's own code path."""
     import pytest
 
     from tests import ref_loader
@@ -87,22 +120,35 @@ def test_photometric_parity_with_reference(rng):
         pytest.skip("reference absent")
     import sys, types
 
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
-    try:
-        ref = ref_loader._load(
-            "utils/data_augmentation.py", "_ref_data_aug"
-        )
-    except Exception as e:  # heavy imports in the reference module
-        pytest.skip(f"reference module unloadable: {e}")
+    monkeypatch.setitem(
+        sys.modules, "torchvision", types.ModuleType("torchvision"))
+    skimage, exposure = _skimage_exposure_shim()
+    monkeypatch.setitem(sys.modules, "skimage", skimage)
+    monkeypatch.setitem(sys.modules, "skimage.exposure", exposure)
+    # the module does `from utils.visualization_tools import ...` (:7) —
+    # resolvable only with the reference root on sys.path
+    ref_loader.ensure_reference_importable()
+    ref = ref_loader._load("utils/data_augmentation.py", "_ref_data_aug")
 
     from litehandnet_tpu.ops.photometric import adjust_gamma, adjust_sigmoid
 
-    img = rng.randint(0, 255, size=(32, 32, 3)).astype(np.float32)
-    if hasattr(ref, "adjust_gamma"):
-        want = np.asarray(ref.adjust_gamma(img.copy(), 1.5), np.float32)
-        got = np.asarray(adjust_gamma(img, 1.5))
+    img_u8 = rng.randint(0, 255, size=(32, 32, 3)).astype(np.uint8)
+    img = img_u8.astype(np.float32)
+
+    for seed in (3, 4, 5):
+        np.random.seed(seed)
+        want = np.asarray(ref.adjust_gamma(img_u8.copy(), 1.0), np.float32)
+        np.random.seed(seed)  # replicate the reference's draws (:23-27)
+        p = np.random.rand()
+        gamma = (np.random.randint(2, 10) / 10 if p < 0.5
+                 else float(np.random.randint(1, 3)))
+        got = np.asarray(adjust_gamma(img, gamma))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.0)
-    if hasattr(ref, "adjust_sigmoid"):
-        want = np.asarray(ref.adjust_sigmoid(img.copy()), np.float32)
-        got = np.asarray(adjust_sigmoid(img))
+
+        np.random.seed(seed)
+        want = np.asarray(ref.adjust_sigmoid(img_u8.copy(), 1.0), np.float32)
+        np.random.seed(seed)  # replicate the reference's draw (:38-40)
+        np.random.rand()
+        gain = float(np.random.randint(3, 5))
+        got = np.asarray(adjust_sigmoid(img, gain=gain))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.0)
