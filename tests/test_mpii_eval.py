@@ -116,6 +116,64 @@ def test_perturbed_pckh_counts(tmp_path):
     assert stats["PCKh"] == pytest.approx(expected)
 
 
+def test_pckh_matches_reference_executed_live(tmp_path):
+    """Golden: the REFERENCE TopDownMpiiDataset.evaluate
+    (topdown_mpii_dataset.py:126-250) runs live on the same fixture mat
+    and noisy predictions; every name_value entry must match ours.
+
+    The reference class is instantiated without __init__ (its loader
+    wants images on disk); evaluate() touches only self.ann_file and
+    self._sort_and_unique_bboxes, both provided."""
+    from tests import ref_loader
+
+    if not ref_loader.reference_available():
+        pytest.skip("reference absent")
+    # the site-packages `datasets` (HF) shadows the reference's namespace
+    # dir; stub just the two parent imports the class STATEMENT needs —
+    # evaluate() itself only uses the module's own numpy/scipy imports
+    import sys
+    import types
+
+    base = types.ModuleType("datasets.base_dataset")
+    base.Kpt2dDataset = type("Kpt2dDataset", (), {})
+    dcfg = types.ModuleType("datasets.dataset_info.dataset_configs")
+    dcfg.mpii_info = {}
+    saved = {}
+    for name, mod in [("datasets.base_dataset", base),
+                      ("datasets.dataset_info.dataset_configs", dcfg)]:
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+    try:
+        ref_mod = ref_loader._load(
+            "datasets/datasets/body/topdown_mpii_dataset.py",
+            "_ref_topdown_mpii")
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+    RefCls = ref_mod.TopDownMpiiDataset
+
+    rng = np.random.RandomState(7)
+    ann_file, pos_gt, _ = _write_fixture(tmp_path, rng)
+    # noise spanning the 0.5*headsize threshold -> non-trivial PCKh curve
+    preds = pos_gt + rng.uniform(-45, 45, pos_gt.shape)
+
+    stub = object.__new__(RefCls)
+    stub.ann_file = str(ann_file)
+    results = [dict(
+        preds=preds.transpose(2, 0, 1) - 1.0, bbox_ids=list(range(N)),
+    )]
+    want = RefCls.evaluate(stub, results, metric="PCKh")
+    got = _evaluate(ann_file, preds)
+    assert set(got) == set(want)
+    for key, val in want.items():
+        assert got[key] == pytest.approx(float(val), abs=1e-9), key
+    # the noise must actually have produced a mid-range score
+    assert 5.0 < got["PCKh"] < 95.0
+
+
 def test_mpii_action_dataset_shares_eval(tmp_path):
     """The action variant reuses the same mat-eval machinery."""
     from litehandnet_tpu.config import config_from_dict
