@@ -42,6 +42,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The `fast` tier (pytest -m fast): a <5-minute regression loop touching
+# every subsystem — config, data, host+device transforms, encode/affine,
+# models (reparam), losses, optimizer, trainer, distributed, decode,
+# eval/metrics, detect/NMS, parsers, native loader, Pallas, CLIs.
+# Tagged per-module here (single source of truth); `slow`-marked tests
+# inside these modules stay out of the tier.
+FAST_MODULES = {
+    "test_configs", "test_data", "test_transforms_compat", "test_encode",
+    "test_affine", "test_decode", "test_losses", "test_optim",
+    "test_distributed", "test_detect",
+    "test_heatmap_parser", "test_coco_eval", "test_mpii_eval",
+    "test_legacy_eval", "test_centermap", "test_native_loader",
+    "test_pallas", "test_import_cli",
+}
+# compile-dominated outliers (>50 s each, measured): the step/scaler
+# machinery they cover stays represented in fast by test_eval_step and
+# test_initialize_multihost_runs_before_backend_init
+FAST_EXCLUDE = {"test_loss_scaler_wired", "test_train_step_runs_and_learns"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))[:-3]
+        if (name in FAST_MODULES and item.get_closest_marker("slow") is None
+                and item.originalname not in FAST_EXCLUDE):
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():
