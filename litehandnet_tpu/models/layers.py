@@ -97,6 +97,31 @@ class Conv(nn.Module):
         )(x)
 
 
+class _ParamHolder(nn.Module):
+    """Declares `kernel` exactly where nn.Conv would, for fused paths that
+    consume the kernel directly instead of through nn.Conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _NestedKernel(nn.Module):
+    """<name>/conv/kernel — the param path `Conv` produces (layers.Conv
+    wraps nn.Conv under child name 'conv'), so checkpoints/torch-import
+    see an identical tree whichever path executes."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ParamHolder(self.shape, name="conv")()
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch's running-stat convention.
 
@@ -119,7 +144,7 @@ class TorchBatchNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, precomputed=None):
         C = x.shape[-1]
         red = tuple(range(x.ndim - 1))
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
@@ -134,25 +159,39 @@ class TorchBatchNorm(nn.Module):
         )
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif precomputed is not None:
+            # stats computed in the producing conv's epilogue
+            # (ops/fused_bn.dw_conv3x3_stats); EMA semantics unchanged
+            assert self.axis_name is None, "precomputed stats are per-device"
+            mean, var = precomputed
+            n = x.size // C
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
         else:
             xf = x.astype(jnp.float32)
             n = x.size // C
             sync = self.axis_name is not None and not self.is_initializing()
             if not sync:
-                # TWO-PASS variance E[(x-mean)^2], torch numerics: naive
-                # one-pass E[x^2]-E[x]^2 cancels catastrophically when
-                # |mean| >> std (measured 8.5e-2 max relative var error vs
-                # f64 at mean/std=250; two-pass: 1.7e-6). The round-2
-                # "shifted one-pass" alternative turned out SLOWER than the
-                # honest two-pass on v5e — XLA materializes the f32 shifted
-                # intermediate instead of re-fusing the subtract into both
-                # reductions (isolated stats on a 51 MB bf16 activation:
-                # shifted 2.10/1.19 ms vs two-pass 1.06/1.02 ms at
-                # C=32/128; a Pallas one-pass f32-accumulator kernel only
-                # ties two-pass at C=128 and loses 2.4x at C=32 to lane
-                # padding). See PROFILE.md "BN-statistics cost".
-                mean = jnp.mean(xf, axis=red)
-                var = jnp.mean(jnp.square(xf - mean), axis=red)
+                if use_fused_bn_stats():
+                    # ONE-read Pallas moments: per-block exact two-pass in
+                    # VMEM + Chan combine — same numerics as the two-pass
+                    # below (the naive one-pass E[x^2]-E[x]^2 cancels
+                    # catastrophically at |mean| >> std and stays banned),
+                    # half the stat-pass HBM traffic (ops/fused_bn.py)
+                    from litehandnet_tpu.ops.fused_bn import moments
+
+                    mean, var = moments(x)
+                else:
+                    # TWO-PASS variance E[(x-mean)^2], torch numerics. The
+                    # round-2 "shifted one-pass" was SLOWER than this on
+                    # v5e — XLA materializes the f32 shifted intermediate
+                    # instead of re-fusing the subtract into both
+                    # reductions. See PROFILE.md "BN-statistics cost".
+                    mean = jnp.mean(xf, axis=red)
+                    var = jnp.mean(jnp.square(xf - mean), axis=red)
             else:
                 # SyncBN: per-device shifts don't compose across pmean, so
                 # keep the plain two-pass (the collective dominates anyway)
@@ -175,6 +214,14 @@ class TorchBatchNorm(nn.Module):
         return y * mul + bias.astype(dtype)
 
 
+def use_fused_bn_stats() -> bool:
+    """Pallas one-read BN statistics (A/B toggle: LHN_FUSED_BN=0 reverts
+    to the plain two-pass)."""
+    import os
+
+    return os.environ.get("LHN_FUSED_BN", "1") != "0"
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults; axis_name enables SyncBN."""
 
@@ -182,7 +229,7 @@ class BatchNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, precomputed=None):
         return TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -190,7 +237,7 @@ class BatchNorm(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )(x, precomputed=precomputed if train else None)
 
 
 class RepConv(nn.Module):
@@ -220,6 +267,21 @@ class RepConv(nn.Module):
                 self.dilation, self.groups, use_bias=True, dtype=self.dtype,
                 name="rep",
             )(x)
+        elif train and self._dw_fusable(x):
+            # depthwise 3x3 in train mode: conv + BN statistics fused into
+            # one Pallas pass (ops/fused_bn.dw_conv3x3_stats) — the stats
+            # never re-read the conv output from HBM. Param tree identical
+            # to the Conv path (main/conv/kernel), so checkpoints and
+            # torch-import rules are unchanged.
+            from litehandnet_tpu.ops.fused_bn import dw_conv3x3_stats
+
+            C = x.shape[-1]
+            kernel = _NestedKernel((3, 3, 1, C), name="main")()
+            y, mean, var = dw_conv3x3_stats(
+                x, kernel[:, :, 0, :], self.dilation)
+            out = BatchNorm(self.axis_name, dtype=self.dtype, name="main_bn")(
+                y, train, precomputed=(mean, var)
+            )
         else:
             out = Conv(
                 self.features, self.kernel, self.stride, self.padding,
@@ -232,6 +294,20 @@ class RepConv(nn.Module):
         if self.act is not None:
             out = self.act(out)
         return out
+
+    def _dw_fusable(self, x) -> bool:
+        from litehandnet_tpu.ops.fused_bn import dw_conv3x3_stats_supported
+
+        C = x.shape[-1]
+        return (
+            use_fused_bn_stats()
+            and self.axis_name is None
+            and self.groups == C and self.features == C
+            and self.kernel == 3 and self.stride == 1
+            and self.padding == self.dilation  # 'SAME' for k=3
+            and not self.is_initializing()
+            and dw_conv3x3_stats_supported(x.shape, x.dtype, self.dilation)
+        )
 
 
 class RepBlock(nn.Module):

@@ -119,6 +119,38 @@ def test_dw_conv_stats_kernel_matches_xla(rng, dilation):
         np.asarray(var), np.asarray(v_ref), rtol=1e-4, atol=1e-6)
 
 
+def test_repconv_fused_branch_matches_conv_branch(rng, monkeypatch):
+    """RepConv's fused train path (_NestedKernel + precomputed-stats BN)
+    must consume Conv-initialized params unchanged and reproduce the
+    plain conv->BN path bit-for-bit (incl. updated batch_stats). Forced
+    on CPU by patching _dw_fusable; the op itself falls back to the
+    reference math, so this isolates the param-path + BN wiring."""
+    from litehandnet_tpu.models import layers
+
+    model = layers.RepConv(features=32, kernel=3, stride=1, padding=1,
+                           groups=32, act=None)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "conv" in variables["params"]["main"]
+
+    def run():
+        return model.apply(variables, x, train=True,
+                           mutable=["batch_stats"])
+
+    monkeypatch.setattr(layers.RepConv, "_dw_fusable", lambda self, x: False)
+    y_conv, st_conv = run()
+    monkeypatch.setattr(layers.RepConv, "_dw_fusable", lambda self, x: True)
+    y_fused, st_fused = run()
+
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_conv),
+                               rtol=1e-6, atol=1e-6)
+    for leaf in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(st_fused["batch_stats"]["main_bn"]["bn"][leaf]),
+            np.asarray(st_conv["batch_stats"]["main_bn"]["bn"][leaf]),
+            rtol=1e-6, atol=1e-7)
+
+
 def test_dw_conv_stats_grad_matches_reference(rng):
     x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
     w = jnp.asarray((rng.randn(3, 3, 32) * 0.3).astype(np.float32))
