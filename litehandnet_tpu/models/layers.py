@@ -215,11 +215,16 @@ class TorchBatchNorm(nn.Module):
 
 
 def use_fused_bn_stats() -> bool:
-    """Pallas one-read BN statistics (A/B toggle: LHN_FUSED_BN=0 reverts
-    to the plain two-pass)."""
+    """Pallas one-read BN statistics — opt-in experiment (LHN_FUSED_BN=1).
+
+    Measured OFF-by-default on v5e: the kernel wins isolated (0.9 vs
+    1.1 ms on 51 MB) but LOSES in-graph (train step 43 vs 34 ms at
+    C=64 sites) — the custom-vjp boundary blocks XLA's conv-epilogue
+    fusion, which already computes BN stats nearly free (isolated DW
+    conv 0.88 ms vs conv+stats 0.95 ms). See PROFILE.md §train-r4."""
     import os
 
-    return os.environ.get("LHN_FUSED_BN", "1") != "0"
+    return os.environ.get("LHN_FUSED_BN", "0") == "1"
 
 
 class BatchNorm(nn.Module):
@@ -296,8 +301,12 @@ class RepConv(nn.Module):
         return out
 
     def _dw_fusable(self, x) -> bool:
+        import os
+
         from litehandnet_tpu.ops.fused_bn import dw_conv3x3_stats_supported
 
+        if os.environ.get("LHN_FUSED_DW", "0") != "1":
+            return False
         C = x.shape[-1]
         return (
             use_fused_bn_stats()

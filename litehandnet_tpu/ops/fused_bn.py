@@ -127,13 +127,34 @@ def _moments_ref(x: jnp.ndarray):
 @jax.custom_vjp
 def moments(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel (mean, biased variance) over all leading axes of an
-    NHWC-style tensor, one HBM read on TPU, two-pass-exact numerics."""
+    NHWC-style tensor, one HBM read on TPU, two-pass-exact numerics.
+
+    For C < 128 with 128 % C == 0 the tensor is viewed as [M/R, 128]
+    (R = 128/C): lane j then always holds channel j % C, so the kernel's
+    per-lane stats are R exact partials per channel, Chan-combined in
+    f32 afterwards — full lane utilization instead of padding."""
     C = x.shape[-1]
     M = int(np.prod(x.shape[:-1]))
-    block_rows = _moments_block_rows(M, C, x.dtype)
-    if not _on_tpu() or C % 128 != 0 or block_rows == 0:
+    if not _on_tpu():
         return _moments_ref(x)
-    return _pallas_moments(x.reshape(M, C), block_rows)
+    if C % 128 == 0:
+        block_rows = _moments_block_rows(M, C, x.dtype)
+        if block_rows == 0:
+            return _moments_ref(x)
+        return _pallas_moments(x.reshape(M, C), block_rows)
+    if 128 % C == 0 and (M * C) % 128 == 0:
+        R = 128 // C
+        Mr = M * C // 128
+        block_rows = _moments_block_rows(Mr, 128, x.dtype)
+        if block_rows == 0:
+            return _moments_ref(x)
+        m128, v128 = _pallas_moments(x.reshape(Mr, 128), block_rows)
+        means = m128.reshape(R, C)   # R equal-count partials per channel
+        varis = v128.reshape(R, C)
+        mean = jnp.mean(means, axis=0)
+        var = jnp.mean(varis + jnp.square(means - mean), axis=0)
+        return mean, var
+    return _moments_ref(x)
 
 
 def _moments_fwd(x):
@@ -249,7 +270,9 @@ def dw_conv3x3_stats_supported(x_shape, dtype, dilation: int = 1) -> bool:
     N, H, W, C = x_shape
     itemsize = jnp.dtype(dtype).itemsize
     vmem_need = H * W * C * (itemsize + 4 + 4)  # x + f32 acc + f32 y staging
-    return (_on_tpu() and C % 128 == 0 and W % 8 == 0
+    # C 32/64 run lane-padded (DW conv is VPU-elementwise with headroom;
+    # the win is the removed HBM stat passes, which scale with bytes)
+    return (_on_tpu() and C % 32 == 0 and W % 8 == 0
             and vmem_need < 8 * 1024 * 1024)
 
 
