@@ -27,6 +27,7 @@ cover; callers A/B through ``tools/benchmark.py --train``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -142,7 +143,11 @@ def moments(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if block_rows == 0:
             return _moments_ref(x)
         return _pallas_moments(x.reshape(M, C), block_rows)
-    if 128 % C == 0 and (M * C) % 128 == 0:
+    if (128 % C == 0 and (M * C) % 128 == 0
+            and os.environ.get("LHN_FUSED_BN_SMALLC", "0") == "1"):
+        # measured a net train-step REGRESSION despite full lane use
+        # (PROFILE.md §train-r4): the custom-vjp boundary cost exceeds
+        # the saved read at these sites; kept opt-in for re-measurement
         R = 128 // C
         Mr = M * C // 128
         block_rows = _moments_block_rows(Mr, 128, x.dtype)
