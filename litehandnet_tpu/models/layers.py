@@ -215,16 +215,19 @@ class TorchBatchNorm(nn.Module):
 
 
 def use_fused_bn_stats() -> bool:
-    """Pallas one-read BN statistics — opt-in experiment (LHN_FUSED_BN=1).
+    """Pallas one-read BN statistics (LHN_FUSED_BN=0 opts out).
 
-    Measured OFF-by-default on v5e: the kernel wins isolated (0.9 vs
-    1.1 ms on 51 MB) but LOSES in-graph (train step 43 vs 34 ms at
-    C=64 sites) — the custom-vjp boundary blocks XLA's conv-epilogue
-    fusion, which already computes BN stats nearly free (isolated DW
-    conv 0.88 ms vs conv+stats 0.95 ms). See PROFILE.md §train-r4."""
+    Applied only at C%128==0 sites, where it is a measured pure win
+    (b64: 33.7->32.8 ms, b128: 53.7->53.0 ms / 2,384->2,416 img/s).
+    At C=64/32 sites the same kernel LOSES in-graph despite winning
+    isolated — the custom-vjp boundary blocks XLA's conv-epilogue
+    fusion, which computes BN stats nearly free (isolated DW conv
+    0.88 ms vs conv+stats 0.95 ms) — so those sites need
+    LHN_FUSED_BN_SMALLC=1 (and the fused DW conv LHN_FUSED_DW=1) to
+    re-measure. See PROFILE.md §train-r4."""
     import os
 
-    return os.environ.get("LHN_FUSED_BN", "0") == "1"
+    return os.environ.get("LHN_FUSED_BN", "1") != "0"
 
 
 class BatchNorm(nn.Module):
