@@ -21,6 +21,7 @@ TPU-native replacement for the reference's NCCL DDP stack
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -62,13 +63,22 @@ def make_train_step(
     mesh: Mesh,
     axis: str = DATA_AXIS,
     donate: bool = True,
+    remat: Optional[bool] = None,
 ) -> Callable:
     """Build the jitted DP train step.
 
     Returns ``train_step(state, batch, rng) -> (state, metrics)`` where
     ``batch`` is a dict of arrays with a leading global batch dimension
     (sharded over the mesh axis) and metrics are replicated scalars.
+
+    ``remat=True`` (or env ``LHN_REMAT=1``) rematerializes the train-mode
+    forward during the backward pass (``jax.checkpoint``), trading one
+    extra forward of FLOPs for not keeping every branch activation live —
+    the standard lever when a larger per-chip batch would otherwise spill
+    HBM (measured A/B in PROFILE.md §train-r4).
     """
+    if remat is None:
+        remat = os.environ.get("LHN_REMAT", "0") == "1"
 
     single_device = int(np.prod(mesh.devices.shape)) == 1
 
@@ -83,13 +93,18 @@ def make_train_step(
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = model.apply(
-                variables,
-                batch["img"],
-                train=True,
-                mutable=mutable,
-                rngs={"dropout": rng},
-            )
+            def apply_model(variables, img, rng):
+                return model.apply(
+                    variables,
+                    img,
+                    train=True,
+                    mutable=mutable,
+                    rngs={"dropout": rng},
+                )
+
+            if remat:
+                apply_model = jax.checkpoint(apply_model)
+            out = apply_model(variables, batch["img"], rng)
             if mutable:
                 out, mutated = out
                 new_stats = mutated["batch_stats"]

@@ -118,6 +118,41 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-3, atol=1e-6)
 
 
+def test_remat_matches_plain_step(rng):
+    """`remat=True` (jax.checkpoint around the train-mode forward, env knob
+    LHN_REMAT) must be a pure memory/speed trade: same loss and same
+    parameter update as the plain step, to float-refusion rounding
+    (checkpoint moves XLA fusion boundaries, so bitwise equality is not
+    expected — measured ~1e-6 relative; the v5e A/B is PROFILE.md
+    §train-r4(d))."""
+    imgs = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+    target = rng.uniform(0, 1, size=(8, 16, 16, 21)).astype(np.float32)
+    results = {}
+    for remat in (False, True):
+        cfg, mesh, model, crit, tx, state, _ = _setup(sync_bn=True)
+        step = make_train_step(
+            model, crit, tx, mesh, donate=False, remat=remat
+        )
+        batch = {
+            "img": jnp.asarray(imgs),
+            "target": jnp.asarray(target),
+            "target_weight": jnp.ones((8, 21)),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        results[remat] = (
+            np.asarray(jax.tree.leaves(state.params)[0]),
+            np.asarray(jax.tree.leaves(state.batch_stats)[0]),
+            float(metrics["loss"]),
+        )
+    np.testing.assert_allclose(results[False][2], results[True][2], rtol=1e-5)
+    np.testing.assert_allclose(
+        results[False][0], results[True][0], rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[False][1], results[True][1], rtol=1e-4, atol=1e-7
+    )
+
+
 def test_loss_scaler_wired(rng):
     """DynamicLossScaler through the real train step (reference
     train/fp16_utils/loss_scaler.py:81-212 + fp16_optimizer.py:336-489):
