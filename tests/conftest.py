@@ -59,7 +59,8 @@ FAST_MODULES = {
 # compile-dominated outliers (>50 s each, measured): the step/scaler
 # machinery they cover stays represented in fast by test_eval_step and
 # test_initialize_multihost_runs_before_backend_init
-FAST_EXCLUDE = {"test_loss_scaler_wired", "test_train_step_runs_and_learns"}
+FAST_EXCLUDE = {"test_loss_scaler_wired", "test_train_step_runs_and_learns",
+                "test_remat_matches_plain_step"}
 
 
 def pytest_collection_modifyitems(config, items):
