@@ -136,13 +136,19 @@ def moments(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     f32 afterwards — full lane utilization instead of padding."""
     C = x.shape[-1]
     M = int(np.prod(x.shape[:-1]))
-    if not _on_tpu():
-        return _moments_ref(x)
+    # dispatch on the platform the computation actually LOWERS to (not the
+    # process default backend): a CPU-targeted trace inside a TPU process
+    # (jax.default_device(cpu), CPU shardings, golden checks) must get the
+    # jnp fallback, not a Mosaic kernel it cannot lower
     if C % 128 == 0:
         block_rows = _moments_block_rows(M, C, x.dtype)
         if block_rows == 0:
             return _moments_ref(x)
-        return _pallas_moments(x.reshape(M, C), block_rows)
+        return jax.lax.platform_dependent(
+            x,
+            tpu=lambda v: _pallas_moments(v.reshape(M, C), block_rows),
+            default=_moments_ref,
+        )
     if (128 % C == 0 and (M * C) % 128 == 0
             and os.environ.get("LHN_FUSED_BN_SMALLC", "0") == "1"):
         # measured a net train-step REGRESSION despite full lane use
@@ -153,12 +159,17 @@ def moments(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         block_rows = _moments_block_rows(Mr, 128, x.dtype)
         if block_rows == 0:
             return _moments_ref(x)
-        m128, v128 = _pallas_moments(x.reshape(Mr, 128), block_rows)
-        means = m128.reshape(R, C)   # R equal-count partials per channel
-        varis = v128.reshape(R, C)
-        mean = jnp.mean(means, axis=0)
-        var = jnp.mean(varis + jnp.square(means - mean), axis=0)
-        return mean, var
+
+        def _smallc(v):
+            m128, v128 = _pallas_moments(v.reshape(Mr, 128), block_rows)
+            means = m128.reshape(R, C)  # R equal-count partials per channel
+            varis = v128.reshape(R, C)
+            mean = jnp.mean(means, axis=0)
+            var = jnp.mean(varis + jnp.square(means - mean), axis=0)
+            return mean, var
+
+        return jax.lax.platform_dependent(x, tpu=_smallc,
+                                          default=_moments_ref)
     return _moments_ref(x)
 
 
@@ -285,11 +296,21 @@ def dw_conv3x3_stats_supported(x_shape, dtype, dilation: int = 1) -> bool:
 def dw_conv3x3_stats(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1):
     """Depthwise 3x3 'SAME' stride-1 conv + per-channel output moments in
     one fused pass. x: [N,H,W,C], w: [3,3,C] -> (y, mean[C], var[C])."""
-    if not dw_conv3x3_stats_supported(x.shape, x.dtype, dilation):
+
+    def _ref(x, w):
         y = _dw_ref(x, w, dilation)
         mean, var = _moments_ref(y)
         return y, mean, var
-    return _pallas_dw_stats(x, w, dilation)
+
+    if not dw_conv3x3_stats_supported(x.shape, x.dtype, dilation):
+        return _ref(x, w)
+    # per-lowering-platform dispatch (see moments): CPU-targeted traces in
+    # a TPU process take the jnp path instead of an unlowerable kernel
+    return jax.lax.platform_dependent(
+        x, w,
+        tpu=lambda x, w: _pallas_dw_stats(x, w, dilation),
+        default=_ref,
+    )
 
 
 def _dw_fwd(x, w, dilation):

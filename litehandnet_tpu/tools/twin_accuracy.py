@@ -458,6 +458,14 @@ def write_report_all(args):
             fl = json.load(f)
         assert t["init_checksum"] == fl["init_checksum"], (
             tag, t["init_checksum"], fl["init_checksum"])
+        # same checksum does not imply same protocol (a side re-run with
+        # different --steps would silently skew the deltas): require the
+        # protocol args to match before pairing the two sides
+        proto = ("family", "refcfg", "mode", "size", "train_n", "eval_n",
+                 "batch", "steps", "lr", "seed")
+        mismatch = {k: (t["args"].get(k), fl["args"].get(k))
+                    for k in proto if t["args"].get(k) != fl["args"].get(k)}
+        assert not mismatch, (tag, mismatch)
         rows.append((tag, t, fl))
     if not rows:
         raise SystemExit(f"no completed family pairs under {args.workdir}")

@@ -32,4 +32,7 @@ run litehrnet18 litehrnet   config/litehrnet/_2_freihand_224x244_dark_18.py     
 run mobilenetv2 mobilenetv2 config/mobilenetv2/_1_freihand2d_224x224_dark.py          heatmap 1200 40
 run srhandnet   srhandnet   config/srhandnet/_1_freihand2d_224x224_region.py          srhandnet 1000 50
 run litehrnet30 litehrnet   config/litehrnet/_1_rhd2d_256x256_dark_30.py              heatmap 800 60
+# 7th family beyond the BASELINE §A table: mynet (MS-Att hourglass, the
+# reference's own architecture) — same protocol, measured ~6 s/step torch
+run mynet       mynet       config/mynet/_2_freihand2d_224x224_dark.py                heatmap 700 70
 echo "ALL $SIDE DONE $(date)"
