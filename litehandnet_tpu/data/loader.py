@@ -195,9 +195,18 @@ class DataLoader:
         seed: int = 0,
         use_native: Optional[bool] = None,
         decode_procs: int = 0,
+        sharding=None,
     ):
         self.cfg = cfg
         self.data_type = data_type
+        # optional jax.sharding.Sharding for the device-pipeline inputs:
+        # raw host batches are device_put with it before the fused jitted
+        # pipeline runs, so the preprocessing (and anything downstream that
+        # consumes batch["img"] in the same jit ecosystem) executes SPMD
+        # over the mesh instead of on one device — the multi-device
+        # serving/eval analogue of the reference's nn.DataParallel eval
+        # wrap (test.py:81). Batch size must divide the sharded axis.
+        self.sharding = sharding
         self.dataset = build_dataset(
             cfg, data_type, rng=np.random.RandomState(seed)
         )
@@ -402,11 +411,15 @@ class DataLoader:
                 yield raw
                 continue
             key, sub = jax.random.split(key)
-            out = self.pipeline(
-                raw["img_raw"], raw["joints_canvas"], raw["vis"],
-                raw["center_canvas"], raw["scale_canvas"],
-                raw["rotation"], sub, bboxes=raw["bbox_canvas"],
-            )
+            pipe_in = (raw["img_raw"], raw["joints_canvas"], raw["vis"],
+                       raw["center_canvas"], raw["scale_canvas"],
+                       raw["rotation"])
+            bboxes = raw["bbox_canvas"]
+            if self.sharding is not None:
+                pipe_in = tuple(
+                    jax.device_put(a, self.sharding) for a in pipe_in)
+                bboxes = jax.device_put(bboxes, self.sharding)
+            out = self.pipeline(*pipe_in, sub, bboxes=bboxes)
             batch = dict(out)
             # center/scale back to ORIGINAL image coords so decode /
             # transform_preds land in annotation space (the crop content

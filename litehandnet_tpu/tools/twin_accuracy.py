@@ -323,6 +323,30 @@ def run_flax_side(args, data):
     variables = import_torch_state_dict(
         args.family, tm.state_dict(), target_vars
     )
+    if args.perturb:
+        # chaos-band replicate: add a RELATIVE epsilon of gaussian noise to
+        # every parameter leaf. The run is otherwise byte-identical (same
+        # corpus, targets, batch order, optimizer), so the spread of final
+        # metrics across perturb seeds measures exactly how much the twin
+        # protocol's trained-metric outcome is amplified from an
+        # infinitesimal weight difference — the null distribution against
+        # which a torch-vs-flax delta must be judged (TWIN_AUC.md chaos
+        # band; train-mode BatchNorm makes trajectories chaotic).
+        prng = np.random.RandomState(args.perturb_seed)
+
+        def _pert(x):
+            a = np.asarray(x)
+            if a.dtype.kind != "f" or a.size == 0:
+                return x
+            scale = float(np.abs(a).std()) or 1.0
+            return jnp.asarray(
+                a + (args.perturb * scale
+                     * prng.standard_normal(a.shape)).astype(a.dtype))
+
+        variables = {
+            "params": jax.tree.map(_pert, variables["params"]),
+            "batch_stats": variables["batch_stats"],
+        }
     criterion = get_loss(cfg)
     weights = np.ones((args.batch, K), np.float32)
     if args.mode == "srhandnet":
@@ -536,6 +560,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--perturb", type=float, default=0.0,
+                   help="flax side only: relative init-perturbation epsilon "
+                        "for chaos-band replicates (output goes to "
+                        "flax_pert<perturb-seed>.json, never flax.json)")
+    p.add_argument("--perturb-seed", type=int, default=1)
     p.add_argument("--workdir", default="/tmp/twin_accuracy")
     p.add_argument("--report-out", default="ACCURACY_TWIN.md")
     args = p.parse_args(argv)
@@ -565,7 +594,9 @@ def main(argv=None):
     result["args"] = {
         k: v for k, v in vars(args).items() if k not in ("side",)
     }
-    out = os.path.join(args.workdir, f"{args.side}.json")
+    fname = (f"flax_pert{args.perturb_seed}.json"
+             if args.side == "flax" and args.perturb else f"{args.side}.json")
+    out = os.path.join(args.workdir, fname)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
