@@ -89,6 +89,14 @@ def main(argv=None):
 
     cfg = get_config(args.cfg)
     ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, torch.jit.ScriptModule):
+        # TorchScript archive (torch.load auto-dispatches zip archives to
+        # torch.jit.load): the route for the author's published
+        # `srhandnet.pts` (reference SRhandNet.py:9-38, the one entry point
+        # that ingests a serialized module instead of a state_dict). The
+        # scripted module's state_dict carries the original attribute
+        # names, so the same per-family conversion rules apply.
+        ckpt = {"state_dict": ckpt.state_dict()}
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) \
         else ckpt
     # DDP checkpoints prefix every key with "module."

@@ -90,6 +90,13 @@ def main(argv=None):
     parser.add_argument("--decode-procs", type=int, default=0,
                         help="decode worker processes per loader "
                              "(set ~cores-2 on a real TPU-VM host)")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override every cell's cfg.TRAIN.total_epoches "
+                             "(smoke runs / budget-capped reproductions)")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="train-mesh size override (tools/train.py "
+                             "--num-devices); global batch is "
+                             "batch_per_gpu x this")
     parser.add_argument("--out", default="auc_table.json")
     args = parser.parse_args(argv)
 
@@ -119,7 +126,12 @@ def main(argv=None):
                 procs = ["--decode-procs", str(args.decode_procs)]
                 try:
                     if not args.eval_only:
-                        train_main(["--cfg", cfg_name] + procs)
+                        extra = ([] if args.epochs is None
+                                 else ["--epochs", str(args.epochs)])
+                        if args.num_devices is not None:
+                            extra += ["--num-devices",
+                                      str(args.num_devices)]
+                        train_main(["--cfg", cfg_name] + procs + extra)
                     eval_args = ["--cfg", cfg_name, "--load-best"] + procs
                     if args.bf16:
                         eval_args.append("--bf16")

@@ -29,6 +29,9 @@ def main(argv=None):
                              "data/mp_decode.py) instead of the in-process "
                              "thread pool; set ~cores-2 on a real TPU-VM "
                              "host (0 = in-process)")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override cfg.TRAIN.total_epoches (smoke runs "
+                             "/ budget-capped reproductions)")
     args = parser.parse_args(argv)
 
     import jax
@@ -40,6 +43,8 @@ def main(argv=None):
 
     initialize_multihost(args.coordinator)
     cfg = get_config(args.cfg)
+    if args.epochs is not None:
+        cfg.TRAIN.total_epoches = args.epochs
 
     # mesh spans ALL devices across processes; each process's loader
     # produces only its LOCAL rows (globalize_batch stitches them into the
