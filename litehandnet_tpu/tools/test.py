@@ -28,6 +28,12 @@ def main(argv=None):
                         help="evaluate random init when no checkpoint exists "
                              "(the reference raises, test.py:100-101)")
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the eval batch over every local device "
+                             "(preprocess + forward run SPMD on a 1-D data "
+                             "mesh) — the reference's nn.DataParallel eval "
+                             "wrap (test.py:81); batch-size must divide the "
+                             "device count")
     parser.add_argument("--vis-dir", default=None)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--decode-procs", type=int, default=0,
@@ -54,9 +60,22 @@ def main(argv=None):
         cfg.DATASET.test.img_prefix = cfg.DATASET.train.img_prefix
     dtype = jnp.bfloat16 if args.bf16 else None
 
+    sharding = None
+    if args.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from litehandnet_tpu.train.distributed import make_mesh
+
+        mesh = make_mesh(jax.local_device_count())
+        sharding = NamedSharding(mesh, P("data"))
+        if args.batch_size % jax.local_device_count():
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must divide the "
+                f"{jax.local_device_count()} local devices")
+
     loader = DataLoader(
         cfg, "test", batch_size=args.batch_size, use_device_pipeline=True,
-        decode_procs=args.decode_procs,
+        decode_procs=args.decode_procs, sharding=sharding,
     )
     try:
         decoder = TopDownDecoder(cfg)
@@ -107,6 +126,13 @@ def main(argv=None):
             # deploy-mode fusion (reference test.py:106-107)
             model = get_model(cfg, deploy=True, dtype=dtype)
             variables = fuse_params(variables)
+        if sharding is not None:
+            # replicate params over the mesh; the sharded batch then drives
+            # the whole forward SPMD (computation follows data)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(
+                variables, NamedSharding(sharding.mesh, P()))
 
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 

@@ -82,3 +82,22 @@ def test_eval_cli_decodes_simdr(tiny_simdr_setup):
     main(["--cfg", tiny_simdr_setup, "--batch-size", "4", "--allow-init",
           "--train"])
     assert os.path.exists(os.path.join(rd, "train_checkpoint_pth_metric.json"))
+
+
+def test_eval_cli_data_parallel_matches_single_device(tiny_simdr_setup):
+    """--data-parallel shards the eval batch over the 8 virtual devices
+    (the reference's nn.DataParallel eval wrap, test.py:81) and must
+    reproduce the single-device metrics exactly (coords differ only by
+    f32 reduction order in the DARK blur, inside the PCK thresholds)."""
+    import numpy as np
+
+    from litehandnet_tpu.tools.test import main
+
+    plain = main(["--cfg", tiny_simdr_setup, "--batch-size", "8",
+                  "--allow-init"])
+    dp = main(["--cfg", tiny_simdr_setup, "--batch-size", "8",
+               "--allow-init", "--data-parallel"])
+    assert set(dp) == set(plain)
+    for k in plain:
+        np.testing.assert_allclose(float(dp[k]), float(plain[k]),
+                                   rtol=1e-6, atol=1e-3, err_msg=k)
