@@ -236,10 +236,29 @@ def run_torch_side(args, data):
     )
     losses = []
     t0 = time.time()
+    # Checkpoint/resume: the torch control costs CPU-hours on this rig and
+    # the loop is deterministic given the precomputed batch order (dropout
+    # zeroed, no in-loop RNG), so periodic state_dict snapshots make the
+    # run restartable after a session death with zero trajectory change.
+    ckpt_path = os.path.join(args.workdir, "torch_ckpt.pt")
+    start_si, prev_wall = 0, 0.0
+    if os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        if ck.get("fingerprint") == [args.family, args.size, args.steps,
+                                     args.seed, args.lr]:
+            tm.load_state_dict(ck["model"])
+            opt.load_state_dict(ck["optimizer"])
+            criterion.load_state_dict(ck["criterion"])
+            losses = list(ck["losses"])
+            start_si, prev_wall = ck["next_si"], ck["wall_s"]
+            print(f"torch resume from step {start_si} "
+                  f"({prev_wall:.0f}s banked)", flush=True)
     # ascontiguousarray: conv backward on strided transpose views hits a
     # libtorch_cpu general-protection fault on some builds (observed on
     # this rig); contiguous NCHW input avoids the broken kernel path
     for si, idx in enumerate(batches):
+        if si < start_si:
+            continue
         x = torch.from_numpy(
             np.ascontiguousarray(train_imgs[idx].transpose(0, 3, 1, 2)))
         if args.mode == "srhandnet":
@@ -264,7 +283,18 @@ def run_torch_side(args, data):
         losses.append(float(loss.detach()))
         if si % 25 == 0:
             print(f"torch step {si}/{len(batches)} loss={losses[-1]:.6f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"({prev_wall + time.time() - t0:.0f}s)", flush=True)
+            tmp = ckpt_path + ".tmp"
+            torch.save({
+                "fingerprint": [args.family, args.size, args.steps,
+                                args.seed, args.lr],
+                "model": tm.state_dict(),
+                "optimizer": opt.state_dict(),
+                "criterion": criterion.state_dict(),
+                "losses": losses, "next_si": si + 1,
+                "wall_s": prev_wall + time.time() - t0,
+            }, tmp)
+            os.replace(tmp, ckpt_path)
 
     tm.eval()
     with torch.no_grad():
@@ -285,15 +315,19 @@ def run_torch_side(args, data):
         )
     return dict(side="torch", init_checksum=[name, digest],
                 loss_first=losses[0], loss_tail=float(np.mean(losses[-25:])),
-                train=tr, eval=ev, wall_s=time.time() - t0)
+                train=tr, eval=ev, wall_s=prev_wall + time.time() - t0)
 
 
 def run_flax_side(args, data):
     import jax
 
     # f32-faithful convs on TPU (the torch side is f32 CPU); without this
-    # the default bf16 matmul precision puts ~1e-3 rel on the step-0 loss
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # the default bf16 matmul precision puts ~1e-3 rel on the step-0 loss.
+    # --matmul-precision default gives a REPLICATE with different per-step
+    # rounding — the right null distribution for a cross-framework delta,
+    # which accumulates per-step float divergence, not just an init epsilon
+    jax.config.update("jax_default_matmul_precision",
+                      args.matmul_precision)
     import jax.numpy as jnp
     import optax
 
@@ -565,6 +599,10 @@ def main(argv=None):
                         "for chaos-band replicates (output goes to "
                         "flax_pert<perturb-seed>.json, never flax.json)")
     p.add_argument("--perturb-seed", type=int, default=1)
+    p.add_argument("--matmul-precision", default="highest",
+                   choices=["default", "high", "highest"],
+                   help="flax side only: jax matmul precision; 'default' "
+                        "(bf16 inputs) is a per-step-rounding replicate")
     p.add_argument("--workdir", default="/tmp/twin_accuracy")
     p.add_argument("--report-out", default="ACCURACY_TWIN.md")
     args = p.parse_args(argv)
@@ -594,8 +632,11 @@ def main(argv=None):
     result["args"] = {
         k: v for k, v in vars(args).items() if k not in ("side",)
     }
-    fname = (f"flax_pert{args.perturb_seed}.json"
-             if args.side == "flax" and args.perturb else f"{args.side}.json")
+    fname = f"{args.side}.json"
+    if args.side == "flax" and args.perturb:
+        fname = f"flax_pert{args.perturb_seed}.json"
+    elif args.side == "flax" and args.matmul_precision != "highest":
+        fname = f"flax_{args.matmul_precision}.json"
     out = os.path.join(args.workdir, fname)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
