@@ -159,3 +159,41 @@ def test_twin_accuracy_report(tmp_path):
     with _pytest.raises(AssertionError):
         main(["--side", "report", "--workdir", str(tmp_path),
               "--report-out", str(out)])
+
+
+def test_twin_torch_side_resume_equivalence(tmp_path):
+    """The torch control checkpoints every 25 steps and resumes EXACTLY:
+    a run restarted from the step-0 snapshot must produce the same losses,
+    metrics, and final json as the uninterrupted run (the control loop is
+    deterministic given the precomputed batch order)."""
+    from tests import ref_loader
+
+    ref_loader.ensure_reference_importable()
+    from litehandnet_tpu.tools.twin_accuracy import main
+
+    argv = ["--side", "torch", "--family", "litehrnet",
+            "--refcfg", "config/litehrnet/_2_freihand_224x244_dark_18.py",
+            "--mode", "heatmap", "--size", "64", "--train-n", "8",
+            "--eval-n", "4", "--batch", "2", "--steps", "3",
+            "--lr", "2e-3", "--seed", "7", "--workdir", str(tmp_path)]
+    out = main(list(argv))
+    full = json.loads(open(out).read())
+    # the step-0 snapshot exists and claims next_si=1
+    import torch
+
+    ck = torch.load(tmp_path / "torch_ckpt.pt", map_location="cpu",
+                    weights_only=False)
+    assert ck["next_si"] == 1 and len(ck["losses"]) == 1
+    # re-running with the snapshot present resumes from step 1 and must
+    # reproduce the uninterrupted run bit-for-bit (minus wall time)
+    out2 = main(list(argv))
+    resumed = json.loads(open(out2).read())
+    assert resumed["loss_first"] == full["loss_first"]
+    assert resumed["loss_tail"] == full["loss_tail"]
+    assert resumed["train"] == full["train"]
+    assert resumed["eval"] == full["eval"]
+    # a different protocol must NOT resume from the stale snapshot
+    ck["fingerprint"][3] = 999  # seed
+    torch.save(ck, tmp_path / "torch_ckpt.pt")
+    out3 = main(list(argv) + ["--steps", "3"])
+    assert json.loads(open(out3).read())["loss_first"] == full["loss_first"]
