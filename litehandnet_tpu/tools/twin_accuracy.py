@@ -462,13 +462,26 @@ def write_report(args):
         "the two sides did not start from the same weights",
         t["init_checksum"], f["init_checksum"],
     )
+    # the protocol is what the SIDES ran, not what the report invocation's
+    # CLI defaults happen to be — read it from the stored jsons and require
+    # the two sides to agree (mirrors write_report_all); fall back to the
+    # CLI args for pre-round-5 jsons that carry no "args" block
+    proto_keys = ("family", "refcfg", "mode", "size", "train_n", "eval_n",
+                  "batch", "steps", "lr", "seed")
+    ta, fa = t.get("args"), f.get("args")
+    if ta and fa:
+        mismatch = {k: (ta.get(k), fa.get(k)) for k in proto_keys
+                    if ta.get(k) != fa.get(k)}
+        assert not mismatch, ("the two sides ran different protocols",
+                              mismatch)
+    a = ta or vars(args)
     lines = [
         "# ACCURACY_TWIN — full-width twin-training accuracy parity",
         "",
-        f"Protocol: `tools/twin_accuracy.py` — family `{args.family}`, "
-        f"full-width, {args.size}x{args.size} input, {args.steps} identical "
-        f"Adam steps (lr {args.lr}, batch {args.batch}) on {args.train_n} "
-        f"synthetic marker images; {args.eval_n} held-out images with "
+        f"Protocol: `tools/twin_accuracy.py` — family `{a['family']}`, "
+        f"full-width, {a['size']}x{a['size']} input, {a['steps']} identical "
+        f"Adam steps (lr {a['lr']}, batch {a['batch']}) on {a['train_n']} "
+        f"synthetic marker images; {a['eval_n']} held-out images with "
         "unseen marker positions; one shared batched DARK decoder + the "
         "reference metric formulas for both sides. Init checksum "
         f"`{t['init_checksum'][1]}` verified identical.",
