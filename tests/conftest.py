@@ -54,7 +54,7 @@ FAST_MODULES = {
     "test_distributed", "test_detect",
     "test_heatmap_parser", "test_coco_eval", "test_mpii_eval",
     "test_legacy_eval", "test_centermap", "test_native_loader",
-    "test_pallas", "test_import_cli",
+    "test_pallas", "test_import_cli", "test_rep_blocks",
 }
 # compile-dominated outliers (>50 s each, measured): the step/scaler
 # machinery they cover stays represented in fast by test_eval_step and
